@@ -1,0 +1,55 @@
+"""Deterministic IRI-minting column expressions.
+
+Pure Catalyst expressions (no Python at execution time) so re-runs and
+speculative task retries are idempotent — the scale-safety property
+SURVEY.md §4.4 requires. Parity targets:
+- pad_id_col      ~ id_to_str      /root/reference/utils.php:26-37
+- section_iri_col ~ bnode_url      /root/reference/utils.php:7-15
+- entity_iri_col  ~ abstract/template minting /root/reference/utils.php:68-97
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .. import vocab as V
+
+
+def pad_id_col(c: Column) -> Column:
+    """Zero-pad the first digit-run to 4 ("E12"->"E0012", "12a"->"0012a");
+    ids without digits pass through unchanged."""
+    prefix = F.regexp_extract(c, r"^([^0-9]*)([0-9]+)(.*)$", 1)
+    digits = F.regexp_extract(c, r"^([^0-9]*)([0-9]+)(.*)$", 2)
+    suffix = F.regexp_extract(c, r"^([^0-9]*)([0-9]+)(.*)$", 3)
+    # NB: lpad TRUNCATES beyond the target length; zfill semantics keep
+    # longer digit runs intact, so guard on length.
+    padded = F.when(F.length(digits) >= 4, digits).otherwise(F.lpad(digits, 4, "0"))
+    return F.when(digits == "", c).otherwise(F.concat(prefix, padded, suffix))
+
+
+def conv_iri_col(conv_id: Column) -> Column:
+    return F.concat(F.lit(V.CONV), conv_id)
+
+
+def turn_iri_col(conv_id: Column, turn_idx: Column) -> Column:
+    return F.format_string(V.CONV + "%s/turn/%04d", conv_id, turn_idx)
+
+
+def section_iri_col(conv_id: Column, k: Column) -> Column:
+    """sha256-facet node: upper(sha256(conv#k)[:6]) + '_' + %02d."""
+    h = F.upper(
+        F.substring(F.sha2(F.format_string("%s#%d", conv_id, k), 256), 1, 6)
+    )
+    return F.format_string(V.CONV + "%s/section/%s_%02d", conv_id, h, k)
+
+
+def entity_iri_col(canonical_id: Column, abstract_local: Column) -> Column:
+    """Abstract-map override else template-minted zero-padded IRI."""
+    return F.when(
+        abstract_local.isNotNull(), F.concat(F.lit(V.ABSTRACT), abstract_local)
+    ).otherwise(F.concat(F.lit(V.ENTITY), pad_id_col(canonical_id)))
+
+
+def int_lit_col(c: Column) -> Column:
+    return F.format_string('"%s"^^<' + V.XSD_INT + ">", c.cast("string"))

@@ -1,0 +1,117 @@
+"""Text/literal column expressions + the few pandas UDFs.
+
+nt_escape_col is a pure-JVM chain with byte-precise parity to the
+reference serializer (/root/reference/Nquads.php:97-124): backslash
+first (so later escapes aren't double-escaped), then quote/tab/nl/cr,
+then every remaining C0 control char to its fixed \\uXXXX form.
+Chained regexp_replace stays inside whole-stage codegen — no Python
+at execution time on the hot path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# C0 control chars that get \uXXXX (everything < 0x20 except \t \n \r)
+_CTL = [o for o in range(0x20) if o not in (0x09, 0x0A, 0x0D)]
+
+
+def nt_escape_col(c: Column) -> Column:
+    out = F.regexp_replace(c, r"\\", r"\\\\")
+    out = F.regexp_replace(out, '"', '\\\\"')
+    out = F.regexp_replace(out, "\t", "\\\\t")
+    out = F.regexp_replace(out, "\n", "\\\\n")
+    out = F.regexp_replace(out, "\r", "\\\\r")
+    for o in _CTL:
+        out = F.regexp_replace(out, f"\\x{o:02x}", f"\\\\u{o:04X}")
+    return out
+
+
+def str_lit_col(c: Column, lang) -> Column:
+    """N-Triples language-tagged literal; ``lang`` is a Column or str."""
+    lang_col = lang if isinstance(lang, Column) else F.lit(lang)
+    return F.concat(F.lit('"'), nt_escape_col(c), F.lit('"@'), lang_col)
+
+
+def nt_line_col(subj: Column, pred: Column, obj: Column) -> Column:
+    """One N-Triples line. Objects are stored pre-rendered (IRIs bare,
+    literals already quoted/escaped), so only IRIs get <> here.
+    Parity: /root/reference/Nquads.php:149-200."""
+    obj_rendered = F.when(
+        obj.startswith("http://") | obj.startswith("https://"),
+        F.concat(F.lit("<"), obj, F.lit(">")),
+    ).otherwise(obj)
+    return F.format_string("<%s> <%s> %s .", subj, pred, obj_rendered)
+
+
+def norm_surface_col(c: Column) -> Column:
+    """Match-key normalization: lowercase + collapse/trim whitespace.
+    Must agree with vocab.norm_surface."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def norm_label_col(c: Column) -> Column:
+    """Label-dedup normalization: lowercase, strip spaces and hyphens
+    (parity with /root/reference/kernelxmltottl.php:208-211)."""
+    return F.translate(F.lower(c), " -", "")
+
+
+# --- pandas UDFs (procedural, Arrow-batched) --------------------------------
+
+def _add_shad_one(s: str) -> str:
+    """EWTS shad-appending, exact parity with add_shad
+    (/root/reference/utils.php:785-800): consider the final char, or the
+    one before it when the final is a/i/e/o (NOT u); 'n'+'g' -> ' /';
+    g/k or s·h (except t·s·h) -> unchanged; non-ASCII-letter ->
+    unchanged; else '/'. Positional checks index the ORIGINAL string.
+    """
+    n = len(s)
+    if n < 2:
+        return s
+    last = s[-1]
+    if last in "aieo":
+        last = s[-2]
+    if n > 2 and last == "g" and s[-3] == "n":
+        return s + " /"
+    if (
+        last in ("g", "k")
+        or (n == 3 and last == "h" and s[-3] == "s")
+        or (n > 3 and last == "h" and s[-3] == "s" and s[-4] != "t")
+    ):
+        return s
+    if not ("A" <= last <= "Z" or "a" <= last <= "z"):
+        return s
+    return s + "/"
+
+
+@F.pandas_udf(T.StringType())
+def add_shad(s: pd.Series) -> pd.Series:
+    return s.map(lambda x: _add_shad_one(x) if x is not None else None)
+
+
+def _guess_lang_one(s: str) -> str:
+    """Heuristic language guess (~/root/reference/migrate-bvm.py:27-53):
+    trailing '/' -> bo-x-ewts; IAST diacritics -> sa-x-iast; first-char
+    Unicode block -> bo / zh / ru; else en."""
+    if not s:
+        return "en"
+    if s.rstrip().endswith("/"):
+        return "bo-x-ewts"
+    if any(ch in "āīūṃḥṅñṭḍṇśṣṛḷ" for ch in s.lower()):
+        return "sa-x-iast"
+    o = ord(s.lstrip()[0]) if s.strip() else 0
+    if 0x0F00 <= o <= 0x0FFF:
+        return "bo"
+    if 0x4E00 <= o <= 0x9FFF:
+        return "zh"
+    if 0x0400 <= o <= 0x04FF:
+        return "ru"
+    return "en"
+
+
+@F.pandas_udf(T.StringType())
+def guess_lang(s: pd.Series) -> pd.Series:
+    return s.map(lambda x: _guess_lang_one(x) if x is not None else "en")

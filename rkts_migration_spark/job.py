@@ -1,0 +1,81 @@
+"""spark-submit entry point for the KG-construction pipeline.
+
+Launch (BASELINE.md launch-mode contract):
+
+    zip -r kg_pkg.zip rkts_migration_spark
+    spark-submit --master local[32] --py-files kg_pkg.zip \\
+        rkts_migration_spark/job.py \\
+        --checkpoint /tmp/kg_run --input /path/to/transcripts_parquet
+
+With no ``--input`` the deterministic synthetic fixture transcripts
+(fixtures.py, seed/scale flags) are generated — no external data.
+Prints one JSON summary line: rows in/out, triples/sec, stage lineage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="KG-construction pipeline job")
+    ap.add_argument("--checkpoint", required=True, help="stage-table root dir")
+    ap.add_argument("--input", default=None,
+                    help="parquet/iceberg dir of transcripts; default: synthetic fixtures")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--n-convs", type=int, default=200)
+    ap.add_argument("--master", default=None, help="override spark master")
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--stop-after", default=None,
+                    choices=["ordered", "mentions", "linked"],
+                    help="stop at a stage boundary (kill-and-resume testing)")
+    ap.add_argument("--salt-buckets", type=int, default=16)
+    args = ap.parse_args(argv)
+
+    # imports deferred so --help works without a JVM
+    from rkts_migration_spark.fixtures import fixtures_to_spark, make_fixtures
+    from rkts_migration_spark.pipeline import run_pipeline
+    from rkts_migration_spark.session import get_spark
+
+    spark = get_spark(app_name="kg-construct-job", master=args.master)
+
+    fx = make_fixtures(seed=args.seed, n_convs=args.n_convs)
+    tables = fixtures_to_spark(spark, fx)
+    if args.input:
+        tables["transcripts"] = spark.read.parquet(args.input)
+
+    t0 = time.time()
+    res = run_pipeline(
+        spark,
+        tables,
+        checkpoint_root=args.checkpoint,
+        run_id=args.run_id,
+        resume=not args.no_resume,
+        salt_buckets=args.salt_buckets,
+        stop_after=args.stop_after,
+    )
+    n_out = res.triples.count()
+    wall = time.time() - t0
+
+    summary = {
+        "run_id": res.run_id,
+        "stopped_after": args.stop_after,
+        "output_rows": n_out,
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(n_out / wall, 1) if wall > 0 else None,
+        "stages_committed": {
+            k: {"rows": m["rows"], "n_partitions": m["n_partitions"]}
+            for k, m in res.manifests.items()
+        },
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,118 @@
+"""Unit tests: column-expression functions vs the pure-Python contract
+(vocab.py) — golden pairs from FIXTURES.md §9."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rkts_migration_spark import vocab as V
+from rkts_migration_spark.functions.ids import (
+    conv_iri_col,
+    entity_iri_col,
+    int_lit_col,
+    pad_id_col,
+    section_iri_col,
+    turn_iri_col,
+)
+from rkts_migration_spark.functions.text import (
+    _add_shad_one,
+    nt_escape_col,
+    nt_line_col,
+    norm_label_col,
+    norm_surface_col,
+    str_lit_col,
+)
+
+
+def _one(df, col):
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def test_pad_id_matches_python(spark):
+    cases = ["E12", "12a", "7a", "E1234", "E12345", "noDigits", "12", "E3b7"]
+    df = spark.createDataFrame([(c,) for c in cases], "raw string")
+    got = {r["raw"]: r["padded"] for r in
+           df.select("raw", pad_id_col(F.col("raw")).alias("padded")).collect()}
+    for c in cases:
+        assert got[c] == V.pad_id(c), c
+    # golden pairs from /root/reference/utils.php:26-37 semantics
+    assert got["12a"] == "0012a"
+    assert got["E12"] == "E0012"
+
+
+def test_iri_minting_matches_python(spark):
+    df = spark.createDataFrame([("C000001", 7, 3)], "conv string, turn int, k int")
+    row = df.select(
+        conv_iri_col(F.col("conv")).alias("c"),
+        turn_iri_col(F.col("conv"), F.col("turn")).alias("t"),
+        section_iri_col(F.col("conv"), F.col("k")).alias("s"),
+        int_lit_col(F.col("turn")).alias("i"),
+    ).collect()[0]
+    assert row["c"] == V.conv_iri("C000001")
+    assert row["t"] == V.turn_iri("C000001", 7)
+    assert row["s"] == V.section_iri("C000001", 3)
+    assert row["i"] == V.int_lit(7)
+
+
+def test_entity_iri_abstract_override(spark):
+    df = spark.createDataFrame(
+        [("E12", "WA0012"), ("E7", None)], "canon string, abs string"
+    )
+    got = {r["canon"]: r["iri"] for r in df.select(
+        "canon", entity_iri_col(F.col("canon"), F.col("abs")).alias("iri")
+    ).collect()}
+    assert got["E12"] == V.ABSTRACT + "WA0012" == V.entity_iri("E12", "WA0012")
+    assert got["E7"] == V.ENTITY + "E0007" == V.entity_iri("E7", None)
+
+
+def test_nt_escape_parity(spark):
+    cases = [
+        'plain', 'quo"te', "back\\slash", "tab\there", "new\nline",
+        "cr\rhere", "ctl\x01x", 'mix"\\\n\t\x02',
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [r["e"] for r in
+           df.select(nt_escape_col(F.col("s")).alias("e")).collect()]
+    for c, g in zip(cases, got):
+        assert g == V.nt_escape(c), repr(c)
+    # byte-precise expectations (Nquads.php:97-124 table)
+    assert V.nt_escape('quo"te') == 'quo\\"te'
+    assert V.nt_escape("ctl\x01x") == "ctl\\u0001x"
+
+
+def test_str_lit_and_line(spark):
+    lit = _one(spark.createDataFrame([("hi\nthere",)], "s string"),
+               str_lit_col(F.col("s"), "en"))
+    assert lit == V.str_lit("hi\nthere", "en") == '"hi\\nthere"@en'
+    line_df = spark.createDataFrame(
+        [("http://s", "http://p", "http://o"), ("http://s", "http://p", '"x"@en')],
+        "subj string, pred string, obj string",
+    )
+    lines = [r["l"] for r in line_df.select(
+        nt_line_col(F.col("subj"), F.col("pred"), F.col("obj")).alias("l")
+    ).collect()]
+    assert lines[0] == "<http://s> <http://p> <http://o> ."
+    assert lines[1] == '<http://s> <http://p> "x"@en .'
+
+
+def test_normalizers(spark):
+    df = spark.createDataFrame([("  Spark   SQL\tmix ",)], "s string")
+    assert _one(df, norm_surface_col(F.col("s"))) == V.norm_surface("  Spark   SQL\tmix ")
+    df2 = spark.createDataFrame([("Sort-Merge Join",)], "s string")
+    assert _one(df2, norm_label_col(F.col("s"))) == V.norm_label("Sort-Merge Join")
+
+
+def test_add_shad_truth_table():
+    # exact parity with /root/reference/utils.php:785-800 (probe cases
+    # at utils.php:795-802, expected values hand-traced from the rules)
+    assert _add_shad_one("a ga") == "a ga"        # a-strip -> g -> unchanged
+    assert _add_shad_one("a sho") == "a sho"      # s·h exemption
+    assert _add_shad_one("a ki") == "a ki"        # i-strip -> k
+    assert _add_shad_one("a gu") == "a gu/"       # 'u' NOT stripped -> '/'
+    assert _add_shad_one("a nga") == "a nga /"    # n·g -> ' /'
+    assert _add_shad_one("a ngu") == "a ngu/"     # 'u' not stripped -> '/'
+    assert _add_shad_one("a ngi") == "a ngi /"
+    assert _add_shad_one("a tsho") == "a tsho/"   # t·s·h excluded from s·h
+    assert _add_shad_one("bam po") == "bam po/"
+    assert _add_shad_one("x1") == "x1"            # non-letter end
+    assert _add_shad_one("g") == "g"              # len < 2 guard

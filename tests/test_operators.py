@@ -1,0 +1,103 @@
+"""Operator-family tests: sections, CC, salting, first-wins dedup,
+trie extraction vs the oracle's regex scanner."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rkts_migration_spark import vocab as V
+from rkts_migration_spark.extract import TokenTrie
+from rkts_migration_spark.oracle import _compile_surface_regex, detect_mentions
+from rkts_migration_spark.operators.cc import connected_components
+from rkts_migration_spark.operators.dedup import exact_dedup, first_wins
+from rkts_migration_spark.operators.salt import salted_count
+from rkts_migration_spark.operators.sections import section_bounds, with_section_index
+
+
+def test_section_islands(spark):
+    rows = [
+        ("c1", 0, "user"), ("c1", 1, "user"), ("c1", 2, "assistant"),
+        ("c1", 3, "user"), ("c1", 4, "user"), ("c2", 0, "tool"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["section_idx"]
+        for r in with_section_index(df).collect()
+    }
+    assert got[("c1", 0)] == 1 and got[("c1", 1)] == 1
+    assert got[("c1", 2)] == 2
+    assert got[("c1", 3)] == 3 and got[("c1", 4)] == 3
+    assert got[("c2", 0)] == 1
+    b = {
+        (r["conv_id"], r["section_idx"]): (r["begin_turn_idx"], r["end_turn_idx"])
+        for r in section_bounds(with_section_index(df)).collect()
+    }
+    assert b[("c1", 1)] == (0, 1)
+    assert b[("c1", 3)] == (3, 4)
+
+
+def test_connected_components_chains_and_cycles(spark):
+    edges = spark.createDataFrame(
+        [("E0003", "E0004"), ("E0004", "E0006"), ("E0011", "E0012"),
+         ("E0012", "E0011"), ("E0030", "E0031")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got["E0003"] == got["E0004"] == got["E0006"] == "E0003"
+    assert got["E0011"] == got["E0012"] == "E0011"
+    assert got["E0030"] == got["E0031"] == "E0030"
+
+
+def test_salted_count_equals_plain_count(spark):
+    df = spark.createDataFrame(
+        [("k1", i) for i in range(100)] + [("k2", i) for i in range(7)],
+        "key string, v int",
+    )
+    salted = {
+        r["key"]: r["cnt"]
+        for r in salted_count(df, ["key"], salt_from=["v"], buckets=8).collect()
+    }
+    plain = {
+        r["key"]: r["cnt"]
+        for r in df.groupBy("key").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert salted == plain == {"k1": 100, "k2": 7}
+
+
+def test_first_wins_is_order_aware(spark):
+    df = spark.createDataFrame(
+        [("g", 3, "c"), ("g", 1, "a"), ("g", 2, "b"), ("h", 9, "z")],
+        "grp string, ord int, val string",
+    )
+    got = {r["grp"]: r["val"] for r in first_wins(df, ["grp"], ["ord"]).collect()}
+    assert got == {"g": "a", "h": "z"}
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], "id long, text string"
+    )
+    out = exact_dedup(df, "text").collect()
+    assert len(out) == 2
+    assert {r["text"] for r in out} == {"same", "other"}
+    # deterministic representative: min struct -> id 1 survives for "same"
+    assert {r["id"] for r in out} == {1, 3}
+
+
+def test_trie_matches_oracle_regex():
+    surfaces = ["spark", "spark sql", "spark streaming", "window",
+                "window function", "hash join", "join"]
+    trie = TokenTrie(sorted({V.norm_surface(s) for s in surfaces}))
+    rx = _compile_surface_regex(surfaces)
+    texts = [
+        "use spark sql for the window function over a hash join",
+        "spark spark sql sparkly join",
+        "window  Window   FUNCTION",          # case/whitespace normalize
+        "spark streaming join spark",
+        "no entities here at all",
+        "",
+    ]
+    for t in texts:
+        got = trie.scan(V.norm_surface(t))
+        want = detect_mentions(t, rx)
+        assert got == want, (t, got, want)

@@ -1,0 +1,69 @@
+"""End-to-end gate: the distributed pipeline's (subj, pred, obj) set
+must match the single-node golden oracle at P/R >= 0.95 (BASELINE.md;
+we assert exact equality), survive kill-and-resume, and be invariant
+to input partitioning (the order-sensitivity hazard SURVEY.md §4.3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from rkts_migration_spark.fixtures import fixtures_to_spark, make_fixtures
+from rkts_migration_spark.oracle import precision_recall, run_oracle
+from rkts_migration_spark.pipeline import run_pipeline
+from rkts_migration_spark.sources.tables import stage_manifest
+
+
+@pytest.fixture(scope="module")
+def fx():
+    return make_fixtures(seed=42, n_convs=80)
+
+
+@pytest.fixture(scope="module")
+def oracle_triples(fx):
+    return run_oracle(fx)
+
+
+def _collect_triples(df) -> set[tuple[str, str, str]]:
+    return {(r["subj"], r["pred"], r["obj"]) for r in df.collect()}
+
+
+def test_pipeline_matches_oracle(spark, fx, oracle_triples, tmpdir_ckpt):
+    tables = fixtures_to_spark(spark, fx)
+    res = run_pipeline(spark, tables, tmpdir_ckpt, run_id="t1", resume=False)
+    got = _collect_triples(res.triples)
+    p, r = precision_recall(got, oracle_triples)
+    extra = sorted(got - oracle_triples)[:5]
+    missing = sorted(oracle_triples - got)[:5]
+    assert p == 1.0 and r == 1.0, (p, r, extra, missing)
+    # lineage: per-partition rows sum to stage totals
+    for stage in ("ordered", "mentions", "linked", "triples"):
+        m = stage_manifest(tmpdir_ckpt, stage)
+        assert m and m["complete"]
+        assert sum(x["rows"] for x in m["partitions"]) == m["rows"]
+
+
+def test_resume_reproduces_triples(spark, fx, oracle_triples, tmpdir_ckpt):
+    tables = fixtures_to_spark(spark, fx)
+    # run 1: killed after the linked stage
+    run_pipeline(spark, tables, tmpdir_ckpt, run_id="a", stop_after="linked")
+    assert stage_manifest(tmpdir_ckpt, "linked")["run_id"] == "a"
+    assert stage_manifest(tmpdir_ckpt, "triples") is None
+    # run 2: resumes — completed stages are NOT recomputed
+    res = run_pipeline(spark, tables, tmpdir_ckpt, run_id="b", resume=True)
+    assert stage_manifest(tmpdir_ckpt, "linked")["run_id"] == "a"  # kept
+    assert stage_manifest(tmpdir_ckpt, "triples")["run_id"] == "b"
+    got = _collect_triples(res.triples)
+    p, r = precision_recall(got, oracle_triples)
+    assert p == 1.0 and r == 1.0
+
+
+def test_partitioning_invariance(spark, fx, oracle_triples, tmpdir_ckpt):
+    """Repartitioning the input arbitrarily must not change one triple:
+    every order-sensitive op keys on (conv_id, turn_idx), not physical
+    order."""
+    tables = fixtures_to_spark(spark, fx)
+    tables["transcripts"] = tables["transcripts"].repartition(13)
+    res = run_pipeline(spark, tables, tmpdir_ckpt, run_id="p", resume=False)
+    got = _collect_triples(res.triples)
+    p, r = precision_recall(got, oracle_triples)
+    assert p == 1.0 and r == 1.0
