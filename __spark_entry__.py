@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(): flagship KG-construction run — documents.parquet adapted to
+the transcript shape, full extract -> link -> canonicalize ->
+materialize pipeline, returns the (subj, pred, obj) triple DataFrame.
+
+queries()/oracle_sql(): operator-family registry from
+rkts_migration_spark.queries (+ queries_kg) — each Spark query paired
+with an ANSI-SQL DuckDB oracle where expressible; the trie-extraction
+path is rows-only as allowed.
 """
 
 from __future__ import annotations
@@ -13,26 +16,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from rkts_migration_spark import queries as _q
+from rkts_migration_spark import queries_kg as _qkg  # noqa: F401  (registers)
+from rkts_migration_spark.queries_kg import q_kg_triples_full
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_kg_triples_full(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator family from SURVEY.md §2."""
+    return _q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle SQL for every SQL-expressible query."""
+    return _q.oracle_sql()

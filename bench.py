@@ -1,0 +1,92 @@
+"""Benchmark harness: runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+The flagship measurement is the full KG-construction pipeline over
+lineitem-derived transcripts (600k turns at sf0.1): triples/sec is the
+BASELINE.md throughput metric. Operator headliners are timed
+individually. Run scripts/scaling_bench.py for the two-parallelism
+scaling-efficiency evidence (BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _time_count(df) -> tuple[float, int]:
+    t0 = time.time()
+    n = df.count()
+    return time.time() - t0, n
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from rkts_migration_spark import queries as _q
+    from rkts_migration_spark import queries_kg  # noqa: F401
+    from rkts_migration_spark.entrydata import transcripts_from_lineitem
+    from rkts_migration_spark.fixtures import fixtures_to_spark, make_fixtures
+    from rkts_migration_spark.pipeline import build_triples_inmem
+    from rkts_migration_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) * 2,
+    )
+
+    timings: dict[str, float] = {}
+
+    # --- flagship: full KG pipeline over scale-proportional input -----
+    tables = fixtures_to_spark(spark, make_fixtures(seed=42, n_convs=1))
+    tables["transcripts"] = transcripts_from_lineitem(spark, sf_dir)
+    kg_sec, kg_triples = _time_count(build_triples_inmem(spark, tables))
+    timings["kg_pipeline"] = round(kg_sec, 3)
+
+    # --- operator headliners ------------------------------------------
+    headliners = [
+        "q_agg_pushdown",
+        "q_shuffle_join",
+        "q_islands",
+        "q_first_order_per_customer",
+        "q_exact_dedup",
+        "q_minhash_candidates",
+        "q_simhash",
+        "q_cosine_topk",
+        "q_token_stats",
+        "q_nt_lines",
+    ]
+    qs = _q.queries()
+    for name in headliners:
+        sec, _ = _time_count(qs[name](spark, sf_dir))
+        timings[name] = round(sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "parallelism": int(cpus),
+                "kg_triples": kg_triples,
+                "kg_triples_per_sec": round(kg_triples / kg_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

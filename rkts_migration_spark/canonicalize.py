@@ -18,8 +18,20 @@ from .functions.ids import pad_id_col
 from .operators.cc import connected_components
 
 
+# Below this edge count the merge dictionaries are collected and closed
+# driver-side (union-find) instead of iterating distributed jobs: the
+# reference's dictionaries are O(100) rows, and each distributed CC
+# iteration costs whole job-scheduling round-trips — ~10s of fixed,
+# parallelism-independent latency that would cap scaling efficiency.
+# Candidate-match edge sets beyond the threshold use the distributed loop.
+DRIVER_CC_MAX_EDGES = 100_000
+
+
 def build_canonical_map(
-    id_remap: DataFrame, cross_corpus_map: DataFrame, same_text_map: DataFrame
+    id_remap: DataFrame,
+    cross_corpus_map: DataFrame,
+    same_text_map: DataFrame,
+    driver_threshold: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """(entity_id, canon_id) for every id appearing in any dictionary.
     Representative = numeric-aware min id of each component. Ids not in
@@ -30,6 +42,10 @@ def build_canonical_map(
         .unionByName(cross_corpus_map.selectExpr("k_id as a", "t_id as b"))
         .unionByName(same_text_map.selectExpr("alias_id as a", "canonical_id as b"))
     )
+    n_edges = edges_raw.limit(driver_threshold + 1).count()
+    if n_edges <= driver_threshold:
+        return _driver_side_cc(edges_raw)
+
     # CC runs on zero-padded ids so lexicographic min == numeric min
     edges = edges_raw.select(
         pad_id_col(F.col("a")).alias("src"), pad_id_col(F.col("b")).alias("dst")
@@ -48,6 +64,36 @@ def build_canonical_map(
     # map the padded representative back to its raw id
     reps = nodes.selectExpr("entity_id as canon_id", "_pad as component")
     return with_comp.join(reps, "component", "inner").select("entity_id", "canon_id")
+
+
+def _driver_side_cc(edges_raw: DataFrame) -> DataFrame:
+    """Union-find on collected edges; same representative rule as the
+    distributed loop (numeric-aware min). One job instead of O(diameter)."""
+    from .vocab import id_sort_key
+
+    spark = edges_raw.sparkSession
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for row in edges_raw.collect():
+        ra, rb = find(row["a"]), find(row["b"])
+        if ra != rb:
+            parent[ra] = rb
+
+    comps: dict[str, list[str]] = {}
+    for node in list(parent):
+        comps.setdefault(find(node), []).append(node)
+    rows = []
+    for members in comps.values():
+        rep = min(members, key=id_sort_key)
+        rows.extend((m, rep) for m in members)
+    return spark.createDataFrame(rows, "entity_id string, canon_id string")
 
 
 def apply_canonical(

@@ -1,15 +1,24 @@
-"""Mention extraction: batched token-level Aho-Corasick over transcript
-turns via ``mapInPandas`` (Arrow batches — the sanctioned Python
-boundary; no row-at-a-time Python UDFs, per BASELINE north_star).
+"""Mention extraction: leftmost-longest non-overlapping gazetteer
+matching at whitespace-token boundaries, two physical strategies with
+identical semantics (tests/test_operators.py proves equivalence):
 
-Semantics (must equal the oracle's longest-first regex alternation,
-oracle.py): normalize text (lowercase, collapse whitespace), then
-leftmost-longest non-overlapping match of gazetteer surfaces at
-whitespace-token boundaries. The trie is built ONCE per Python worker
-from a broadcast surface list and cached by broadcast id, so a 1000-
-executor run pays the build cost per worker, not per batch. This is
-the distributed replacement for the reference's per-item string
-scanning of catalog titles (/root/reference/kernelxmltottl.php:159-228).
+1. ``extract_mentions_regex`` — longest-first alternation compiled into
+   ONE JVM regex, run via ``regexp_extract_all`` inside whole-stage
+   codegen. Zero Python boundary: no Arrow transfer, no worker
+   processes competing with executor threads. Default for gazetteers
+   up to REGEX_MAX_SURFACES (alternation cost grows with the surface
+   count, so this is strictly the small-dictionary fast path).
+
+2. ``extract_mentions_trie`` — batched token-level Aho-Corasick via
+   ``mapInPandas`` (Arrow batches; the trie is built once per Python
+   worker from a broadcast surface list). O(text) matching independent
+   of gazetteer size: the scale path for real gazetteers (the
+   reference's actor dictionary is 6k rows, rkts-actors.csv).
+
+Both emit (conv_id, turn_idx, midx, matched) where ``midx`` is the
+0-based match ordinal within the turn — the downstream order key
+(document order = (conv_id, turn_idx, midx), the analog of the
+reference's XML item order, editionxmltottl.php:432-435).
 """
 
 from __future__ import annotations
@@ -22,8 +31,64 @@ from pyspark.sql import functions as F
 
 from . import vocab as V
 
-MENTION_SCHEMA = "conv_id string, turn_idx int, begin int, matched string"
+MENTION_SCHEMA = "conv_id string, turn_idx int, midx int, matched string"
 
+# above this surface count, alternation regexes stop being competitive
+# with the trie; switch strategies
+REGEX_MAX_SURFACES = 256
+
+
+def _normalized_surfaces(gazetteer: DataFrame) -> list[str]:
+    return sorted(
+        {V.norm_surface(r["surface"]) for r in gazetteer.select("surface").collect()}
+    )
+
+
+def extract_mentions(turns: DataFrame, gazetteer: DataFrame) -> DataFrame:
+    surfaces = _normalized_surfaces(gazetteer)
+    if len(surfaces) <= REGEX_MAX_SURFACES:
+        return extract_mentions_regex(turns, surfaces)
+    return extract_mentions_trie(turns, surfaces)
+
+
+def _non_placeholder(turns: DataFrame) -> DataFrame:
+    # placeholder filter runs JVM-side before any extraction work
+    return turns.select("conv_id", "turn_idx", "text").filter(
+        ~F.col("text").isin(*V.PLACEHOLDERS)
+    )
+
+
+# --- strategy 1: JVM regex (whole-stage codegen, no Python) -----------------
+
+def _alternation_pattern(surfaces: list[str]) -> str:
+    """Longest-first alternation == leftmost-longest at each position;
+    (?<!\\S) / (?!\\S) enforce whitespace-token boundaries. Surfaces are
+    \\Q..\\E-quoted so arbitrary alias text is safe."""
+    alts = sorted(surfaces, key=len, reverse=True)
+    body = "|".join("\\Q" + s + "\\E" for s in alts)
+    return f"(?<!\\S)({body})(?!\\S)"
+
+
+def extract_mentions_regex(turns: DataFrame, surfaces: list[str]) -> DataFrame:
+    from .functions.text import norm_surface_col
+
+    pattern = _alternation_pattern(surfaces)
+    src = _non_placeholder(turns)
+    matches = src.select(
+        "conv_id",
+        "turn_idx",
+        F.regexp_extract_all(
+            norm_surface_col(F.col("text")), F.lit(pattern), 1
+        ).alias("ms"),
+    )
+    return matches.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode("ms").alias("midx", "matched"),
+    ).select("conv_id", "turn_idx", F.col("midx").cast("int"), "matched")
+
+
+# --- strategy 2: Aho-Corasick token trie over Arrow batches -----------------
 
 class TokenTrie:
     """Token-sequence trie with greedy longest-match scanning."""
@@ -39,16 +104,11 @@ class TokenTrie:
                 node = node.setdefault(t, {})
             node[None] = surf  # terminal -> canonical normalized surface
 
-    def scan(self, norm_text: str) -> list[tuple[int, str]]:
-        """[(char_offset_in_norm_text, matched_surface)], leftmost-longest
-        non-overlapping."""
+    def scan(self, norm_text: str) -> list[str]:
+        """Matched surfaces in document order, leftmost-longest
+        non-overlapping (list index == match ordinal)."""
         toks = norm_text.split(" ")
-        offsets = []
-        off = 0
-        for t in toks:
-            offsets.append(off)
-            off += len(t) + 1
-        out: list[tuple[int, str]] = []
+        out: list[str] = []
         i, n = 0, len(toks)
         while i < n:
             node = self.root
@@ -62,7 +122,7 @@ class TokenTrie:
                     best = node[None]
                     best_j = j
             if best is not None:
-                out.append((offsets[i], best))
+                out.append(best)
                 i = best_j
             else:
                 i += 1
@@ -82,45 +142,35 @@ def _get_trie(bc) -> TokenTrie:
     return trie
 
 
-def extract_mentions(turns: DataFrame, gazetteer: DataFrame) -> DataFrame:
-    """(conv_id, turn_idx, begin, matched) for every non-placeholder turn.
-
-    Column pruning: only (conv_id, turn_idx, text) crosses the Arrow
-    boundary. The placeholder filter runs JVM-side before the Python
-    stage so empty turns never pay serialization.
-    """
+def extract_mentions_trie(turns: DataFrame, surfaces: list[str]) -> DataFrame:
+    """Column pruning: only (conv_id, turn_idx, text) crosses the Arrow
+    boundary; the trie is built once per worker, not per batch."""
     spark = turns.sparkSession
-    surfaces = sorted(
-        {V.norm_surface(r["surface"]) for r in gazetteer.select("surface").collect()}
-    )
     bc = spark.sparkContext.broadcast(surfaces)
-
-    src = turns.select("conv_id", "turn_idx", "text").filter(
-        ~F.col("text").isin(*V.PLACEHOLDERS)
-    )
+    src = _non_placeholder(turns)
 
     def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         trie = _get_trie(bc)
         for pdf in batches:
             conv_ids: list[str] = []
             turn_idxs: list[int] = []
-            begins: list[int] = []
+            midxs: list[int] = []
             matches: list[str] = []
             for conv_id, turn_idx, text in zip(
                 pdf["conv_id"].values, pdf["turn_idx"].values, pdf["text"].values
             ):
                 if not text:
                     continue
-                for begin, matched in trie.scan(V.norm_surface(text)):
+                for midx, matched in enumerate(trie.scan(V.norm_surface(text))):
                     conv_ids.append(conv_id)
                     turn_idxs.append(int(turn_idx))
-                    begins.append(begin)
+                    midxs.append(midx)
                     matches.append(matched)
             yield pd.DataFrame(
                 {
                     "conv_id": pd.Series(conv_ids, dtype="object"),
                     "turn_idx": pd.Series(turn_idxs, dtype="int32"),
-                    "begin": pd.Series(begins, dtype="int32"),
+                    "midx": pd.Series(midxs, dtype="int32"),
                     "matched": pd.Series(matches, dtype="object"),
                 }
             )

@@ -126,7 +126,7 @@ def top_entity_triples(
     counts = salted_count(
         linked_canon,
         keys=["conv_id", "canon_id"],
-        salt_from=["turn_idx", "begin"],
+        salt_from=["turn_idx", "midx"],
         buckets=salt_buckets,
     )
     top = (
@@ -153,18 +153,18 @@ def top_entity_triples(
 
 def label_triples(linked_canon: DataFrame, abstract_lookup: DataFrame) -> DataFrame:
     """prefLabel (first per (entity, lang)) / altLabel (later distinct
-    normalized labels) under corpus document order (conv, turn, begin)."""
+    normalized labels) under corpus document order (conv, turn, midx)."""
     base = linked_canon.withColumn("norm_label", norm_label_col(F.col("matched")))
     # first occurrence of each distinct normalized label per entity
     label_winners = first_wins(
         base,
         group_cols=["canon_id", "norm_label"],
-        order_cols=["conv_id", "turn_idx", "begin"],
+        order_cols=["conv_id", "turn_idx", "midx"],
     )
     flagged = with_first_flag(
         label_winners,
         group_cols=["canon_id", "lang"],
-        order_cols=["conv_id", "turn_idx", "begin"],
+        order_cols=["conv_id", "turn_idx", "midx"],
         flag_col="is_pref",
     )
     df = _with_entity_iri(flagged, abstract_lookup)
@@ -188,6 +188,8 @@ def entity_prop_triples(
     props = entity_props.filter(F.col("obj") != F.col("entity_ref"))
     props = apply_canonical(props, canonical_map, "entity_ref", "canon_id")
     props = props.join(mentioned_canon, "canon_id", "left_semi")
+    # two source refs can canonicalize to the same (canon, prop, obj)
+    props = props.select("canon_id", "prop", "obj").distinct()
     df = _with_entity_iri(props, abstract_lookup)
     return df.select(
         F.col("entity_iri").alias("subj"),
@@ -209,8 +211,15 @@ def assemble_triples(
     entity_props: DataFrame,
     salt_buckets: int = 16,
 ) -> DataFrame:
-    """Union of every family, distinct on (subj, pred, obj) — the
-    global-graph union (U1 analog, /root/reference/utils.php:833-840)."""
+    """Union of every family — the global-graph union (U1 analog,
+    /root/reference/utils.php:833-840).
+
+    No global distinct: the families are pairwise disjoint (each owns
+    its predicates) and each is internally unique — mentions and props
+    carry their own distinct; turn/conv/section/label/topEntity rows
+    are unique by construction (one row per turn/conv/island/winner).
+    A trailing distinct would re-shuffle the entire output for nothing
+    — at 100 TB that is the single biggest avoidable exchange."""
     mentioned = linked_canon.select("canon_id").distinct()
     fams = [
         turn_triples(turns_with_section),
@@ -226,4 +235,4 @@ def assemble_triples(
     out = fams[0]
     for f in fams[1:]:
         out = out.unionByName(f)
-    return out.distinct()
+    return out

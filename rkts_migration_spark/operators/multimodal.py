@@ -1,0 +1,104 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata structs, processed by Arrow-batched UDFs over
+``mapInPandas``.
+
+The Spark-side plumbing (schemas, batch shapes, partitioning, UDF
+signatures) is real and tested; the actual codec work is stubbed
+behind ``DecodeUnavailable`` / a deterministic fake because no
+image/audio libraries ship in this container — swap `_decode_*_real`
+in when Pillow/torchaudio/PyAV are present.
+
+Analog in the reference: per-volume image lists with width/height
+metadata (/root/reference/il-cache/, loader utils.php:199-209) and the
+pagination->image join (migrate-bvm.py:95-156) — media as records with
+metadata, bytes processed elsewhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_META = T.StructType([
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("format", T.StringType()),
+])
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType()),        # image | audio | video
+    T.StructField("payload", T.BinaryType()),     # opaque bytes
+    T.StructField("meta", IMAGE_META),
+])
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes int, sha string, feature array<float>"
+)
+
+
+class DecodeUnavailable(NotImplementedError):
+    """Raised by the real decode path when codec libs are absent."""
+
+
+def _decode_image_real(payload: bytes) -> list[float]:
+    raise DecodeUnavailable(
+        "image decoding requires Pillow/opencv — not in this container; "
+        "wire the real decoder here and keep the batch shape identical"
+    )
+
+
+def _feature_fake(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in feature: sha256-derived floats. Keeps the
+    whole distributed path (partitioning, Arrow batches, downstream
+    similarity joins) testable without codecs."""
+    h = hashlib.sha256(payload or b"").digest()
+    return [h[i] / 255.0 for i in range(dim)]
+
+
+def extract_media_features(
+    media: DataFrame, dim: int = 8, use_real_decode: bool = False
+) -> DataFrame:
+    """media (MEDIA_SCHEMA) -> per-item features via mapInPandas.
+
+    Column pruning keeps metadata out of the Arrow transfer; payload
+    bytes move once. Partitioning: caller should repartition by
+    bucket(media_id) so batches are size-uniform (payloads skew)."""
+    src = media.select("media_id", "kind", "payload")
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, shas, sizes = [], [], []
+            for payload in pdf["payload"].values:
+                b = bytes(payload) if payload is not None else b""
+                sizes.append(len(b))
+                shas.append(hashlib.sha256(b).hexdigest()[:16])
+                if use_real_decode:
+                    feats.append(_decode_image_real(b))  # DecodeUnavailable
+                else:
+                    feats.append(_feature_fake(b, dim))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "kind": pdf["kind"],
+                "n_bytes": pd.Series(sizes, dtype="int32"),
+                "sha": shas,
+                "feature": feats,
+            })
+
+    return src.mapInPandas(per_batch, schema=FEATURE_SCHEMA)
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes) for
+    tests/bench — no external data."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"media{i}".encode()).digest() * (1 + i % 7)
+        kind = ("image", "audio", "video")[i % 3]
+        rows.append((i, kind, bytearray(payload), (64 + i, 48 + i, "fake")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -32,6 +32,30 @@ from .sources.tables import read_stage, stage_is_complete, write_stage
 STAGES = ("ordered", "mentions", "linked", "triples")
 
 
+def build_triples_inmem(
+    spark: SparkSession, tables: dict[str, DataFrame], salt_buckets: int = 16
+) -> DataFrame:
+    """Compose the full pipeline with no checkpoint IO (driver contract
+    and bench; production runs use run_pipeline for resumability).
+
+    ``ordered`` and ``linked`` feed several triple families each, so
+    they are persisted (memory-and-disk) — without this the Python
+    extraction stage would re-run once per family, the same work the
+    checkpointed path avoids by writing stage tables."""
+    ordered = with_section_index(tables["transcripts"]).persist()
+    mentions = extract_mentions(ordered, tables["gazetteer"])
+    canonical_map = build_canonical_map(
+        tables["id_remap"], tables["cross_corpus_map"], tables["same_text_map"]
+    )
+    linked = link_mentions(mentions, tables["gazetteer"])
+    linked = apply_canonical(linked, canonical_map, "entity_id", "canon_id").persist()
+    abstract_lookup = build_abstract_lookup(tables["abstract_map"], canonical_map)
+    return assemble_triples(
+        ordered, linked, canonical_map, abstract_lookup,
+        tables["entity_props"], salt_buckets=salt_buckets,
+    )
+
+
 @dataclass
 class RunResult:
     run_id: str

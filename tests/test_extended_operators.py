@@ -1,0 +1,226 @@
+"""Tests for the extended operator families: fills, similarity (exact
+vs LSH), dedup (minhash/simhash/jaccard), text stats, location grammar,
+multimodal plumbing, streaming-over-batch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rkts_migration_spark.functions.locations import (
+    folio_side_to_pagenum,
+    make_parse_location_udf,
+)
+from rkts_migration_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_candidates,
+    minhash_signature,
+    simhash,
+)
+from rkts_migration_spark.operators.fill import attach_to_next, carry_last_seen
+from rkts_migration_spark.operators.multimodal import (
+    extract_media_features,
+    synthetic_media,
+)
+from rkts_migration_spark.operators.similarity import cosine_topk, lsh_topk
+from rkts_migration_spark.operators.textstats import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality,
+    with_token_stats,
+)
+
+
+# --- fills -----------------------------------------------------------------
+
+def test_fills(spark):
+    rows = [("u", 1, None), ("u", 2, 10.0), ("u", 3, None), ("u", 4, 20.0),
+            ("u", 5, None)]
+    df = spark.createDataFrame(rows, "k string, o int, v double")
+    fwd = {r["o"]: r["v_filled"]
+           for r in attach_to_next(df, "v", ["k"], ["o"]).collect()}
+    assert fwd == {1: 10.0, 2: 10.0, 3: 20.0, 4: 20.0, 5: None}
+    back = {r["o"]: r["v_carried"]
+            for r in carry_last_seen(df, "v", ["k"], ["o"]).collect()}
+    assert back == {1: None, 2: 10.0, 3: 10.0, 4: 20.0, 5: 20.0}
+
+
+# --- similarity ------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+    rows = []
+    for i in range(40):
+        angle = (i % 8) * math.pi / 16
+        rows.append((i, [float(math.cos(angle)), float(math.sin(angle)),
+                         float(i % 3) * 0.1, 0.5]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(vectors):
+    out = cosine_topk(vectors.filter(F.col("vec_id") < 2), vectors, k=3)
+    rows = out.collect()
+    assert len(rows) == 6  # 2 queries x top-3
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["cosine"])
+    for q, sims in by_q.items():
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0 <= s <= 1.0001 for s in sims)
+    # vec 0 and vec 8 are identical directions -> top neighbor cosine 1.0
+    top0 = [r for r in rows if r["query_id"] == 0][0]
+    assert top0["cosine"] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_lsh_topk_finds_identical_vectors(vectors):
+    out = lsh_topk(vectors.filter(F.col("vec_id") < 2), vectors, dim=4, k=3,
+                   n_planes=4)
+    rows = out.collect()
+    # identical-direction vectors share every hyperplane sign -> same
+    # bucket, so the exact-duplicate neighbor is always found
+    top0 = [r for r in rows if r["query_id"] == 0]
+    assert top0 and top0[0]["cosine"] == pytest.approx(1.0, abs=1e-3)
+
+
+# --- dedup family ----------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup
+        (3, "the quick brown fox leaps over the lazy dog"),   # near dup
+        (4, "completely different text about spark windows"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_near_dups(docs):
+    sig = minhash_signature(docs)
+    assert sig.count() == 4  # empty text filtered
+    cands = {(r["doc_a"], r["doc_b"]) for r in minhash_candidates(docs).collect()}
+    assert (1, 2) in cands          # exact dups always collide
+    assert (1, 4) not in cands      # disjoint docs don't
+
+
+def test_simhash_close_for_near_dups(docs):
+    s = {r["doc_id"]: r["simhash4"] for r in simhash(docs).collect()}
+    assert s[1] == s[2]
+    ham_near = bin(s[1] ^ s[3]).count("1")
+    assert ham_near <= 2
+
+
+def test_jaccard_pairs(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in jaccard_pairs(docs, threshold_pct=50).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+# --- text stats ------------------------------------------------------------
+
+def test_textstats(docs):
+    d = docs.filter(F.length("text") > 0)
+    ts = {r["doc_id"]: r for r in with_token_stats(d).collect()}
+    assert ts[1]["n_tokens"] == 9 and ts[1]["n_distinct"] == 8
+    q = {r["doc_id"]: r["passes_quality"] for r in with_quality(d).collect()}
+    assert q[1] == 1
+    lang = {r["doc_id"]: r["predicted_lang"] for r in with_lang_id(d).collect()}
+    assert lang[1] == "en"
+    fp = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(d).collect()}
+    assert fp[1] == fp[2] and fp[1] != fp[4]
+
+
+# --- location grammar (F9-F11 parity) ---------------------------------------
+
+def test_location_grammar(spark):
+    cases = [
+        "'dul ba, ka 1b1-nga 302a5 (vol. 1-4)",
+        "gzugs, wam 245a4-247a7 (vol. 102)",
+        "rgyud, ja 39b7 (vol. 83)",
+        "bad loc !!",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    udf = make_parse_location_udf("full")
+    got = {r["s"]: r["loc"] for r in
+           df.select("s", udf(F.col("s")).alias("loc")).collect()}
+    l1 = got[cases[0]]
+    assert l1["section"] == "'dul ba" and l1["bvolname"] == "ka"
+    assert l1["bpagenum"] == 1 and l1["bpageside"] == "b" and l1["blinenum"] == 1
+    assert l1["evolname"] == "nga" and l1["epagenum"] == 302
+    assert l1["bvolnum"] == 1 and l1["evolnum"] == 4 and l1["valid"]
+    l3 = got[cases[2]]
+    assert l3["bpagenum"] == 39 and l3["bpageside"] == "b" and l3["elinenum"] is None
+    assert not got["bad loc !!"]["valid"]
+    # chemdo simple grammar
+    simple = make_parse_location_udf("simple")
+    s = spark.createDataFrame([("417-421",)], "s string").select(
+        simple(F.col("s")).alias("loc")).collect()[0]["loc"]
+    assert s["bpagenum"] == 417 and s["epagenum"] == 421 and s["valid"]
+
+
+def test_folio_arithmetic(spark):
+    # imagenum = 2*(folio-1) + first_folio_page + (side=='b')
+    df = spark.createDataFrame(
+        [(1, "a", 3), (1, "b", 3), (10, "b", 5)], "folio int, side string, ffp int")
+    got = [r["n"] for r in df.select(
+        folio_side_to_pagenum(F.col("folio"), F.col("side"), F.col("ffp"))
+        .alias("n")).collect()]
+    assert got == [3, 4, 24]
+
+
+# --- multimodal plumbing -----------------------------------------------------
+
+def test_media_features(spark):
+    media = synthetic_media(spark, n=12)
+    out = extract_media_features(media, dim=8).collect()
+    assert len(out) == 12
+    by_id = {r["media_id"]: r for r in out}
+    assert all(len(r["feature"]) == 8 for r in out)
+    assert by_id[0]["n_bytes"] == 32 and by_id[6]["n_bytes"] == 224  # 32*(1+6%7)
+    # determinism: same payload -> same sha/feature
+    out2 = extract_media_features(synthetic_media(spark, n=12), dim=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_media_real_decode_is_stubbed(spark):
+    from rkts_migration_spark.operators.multimodal import DecodeUnavailable
+    media = synthetic_media(spark, n=2)
+    with pytest.raises(Exception) as ei:
+        extract_media_features(media, use_real_decode=True).collect()
+    assert "DecodeUnavailable" in str(ei.value) or "decoding requires" in str(ei.value)
+
+
+# --- streaming over batch -----------------------------------------------------
+
+def test_stream_matches_batch(spark, tmpdir_ckpt):
+    import os
+
+    from rkts_migration_spark.fixtures import fixtures_to_spark, make_fixtures
+    from rkts_migration_spark.fixtures import TRANSCRIPT_DDL
+    from rkts_migration_spark.pipeline import build_triples_inmem
+    from rkts_migration_spark.streaming import stream_from_directory, stream_triples
+
+    fx = make_fixtures(seed=7, n_convs=12)
+    tables = fixtures_to_spark(spark, fx)
+    batch_triples = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in build_triples_inmem(spark, tables).collect()
+    }
+
+    in_dir = os.path.join(tmpdir_ckpt, "in")
+    tables["transcripts"].coalesce(1).write.parquet(in_dir)
+    stream = stream_from_directory(spark, in_dir, TRANSCRIPT_DDL)
+    got: set = set()
+
+    def sink(df, batch_id):
+        got.update((r["subj"], r["pred"], r["obj"]) for r in df.collect())
+
+    q = stream_triples(
+        stream, {k: v for k, v in tables.items() if k != "transcripts"},
+        sink, os.path.join(tmpdir_ckpt, "ckpt"))
+    q.awaitTermination(120)
+    assert got == batch_triples

@@ -84,20 +84,41 @@ def test_exact_dedup(spark):
     assert {r["id"] for r in out} == {1, 3}
 
 
+SURFACES = ["spark", "spark sql", "spark streaming", "window",
+            "window function", "hash join", "join", 'quo"te (x)']
+TEXTS = [
+    "use spark sql for the window function over a hash join",
+    "spark spark sql sparkly join",
+    "window  Window   FUNCTION",          # case/whitespace normalize
+    "spark streaming join spark",
+    'regex meta quo"te (x) must be quoted',
+    "no entities here at all",
+    "",
+]
+
+
 def test_trie_matches_oracle_regex():
-    surfaces = ["spark", "spark sql", "spark streaming", "window",
-                "window function", "hash join", "join"]
-    trie = TokenTrie(sorted({V.norm_surface(s) for s in surfaces}))
-    rx = _compile_surface_regex(surfaces)
-    texts = [
-        "use spark sql for the window function over a hash join",
-        "spark spark sql sparkly join",
-        "window  Window   FUNCTION",          # case/whitespace normalize
-        "spark streaming join spark",
-        "no entities here at all",
-        "",
-    ]
-    for t in texts:
+    trie = TokenTrie(sorted({V.norm_surface(s) for s in SURFACES}))
+    rx = _compile_surface_regex(SURFACES)
+    for t in TEXTS:
         got = trie.scan(V.norm_surface(t))
-        want = detect_mentions(t, rx)
+        want = [m for _, m in detect_mentions(t, rx)]
         assert got == want, (t, got, want)
+
+
+def test_regex_and_trie_strategies_agree(spark):
+    """The two physical extraction strategies (JVM regexp_extract_all
+    vs Arrow trie) must emit identical (conv, turn, midx, matched)."""
+    from rkts_migration_spark.extract import (
+        extract_mentions_regex,
+        extract_mentions_trie,
+    )
+
+    turns = spark.createDataFrame(
+        [("c1", i, t) for i, t in enumerate(TEXTS)],
+        "conv_id string, turn_idx int, text string",
+    )
+    surfaces = sorted({V.norm_surface(s) for s in SURFACES})
+    a = sorted(map(tuple, extract_mentions_regex(turns, surfaces).collect()))
+    b = sorted(map(tuple, extract_mentions_trie(turns, surfaces).collect()))
+    assert a == b and len(a) > 0

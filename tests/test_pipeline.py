@@ -30,7 +30,11 @@ def _collect_triples(df) -> set[tuple[str, str, str]]:
 def test_pipeline_matches_oracle(spark, fx, oracle_triples, tmpdir_ckpt):
     tables = fixtures_to_spark(spark, fx)
     res = run_pipeline(spark, tables, tmpdir_ckpt, run_id="t1", resume=False)
-    got = _collect_triples(res.triples)
+    rows = res.triples.collect()
+    got = {(r["subj"], r["pred"], r["obj"]) for r in rows}
+    # assemble_triples emits NO global distinct — prove it never needs
+    # one: every family must be internally unique and pairwise disjoint
+    assert len(rows) == len(got), f"{len(rows) - len(got)} duplicate triples"
     p, r = precision_recall(got, oracle_triples)
     extra = sorted(got - oracle_triples)[:5]
     missing = sorted(oracle_triples - got)[:5]

@@ -1,0 +1,69 @@
+"""Plan-quality guardrails: pushdown reaches the scan, dimension joins
+broadcast, the ordered stage's windows share one exchange. These are
+the properties that decide 100x scale-up survival — asserted, not
+eyeballed."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rkts_migration_spark.operators.sections import with_section_index
+from rkts_migration_spark.plans import (
+    count_exchanges,
+    has_broadcast_join,
+    physical_plan,
+    pushed_filters,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from rkts_migration_spark.queries import q_agg_pushdown
+
+    df = q_agg_pushdown(spark, SF)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+
+
+def test_projection_pruned_to_read_schema(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = physical_plan(df)
+    assert "ReadSchema" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" not in read_schema  # pruned
+    assert "l_orderkey" in read_schema
+
+
+def test_dim_join_broadcasts(spark):
+    from rkts_migration_spark.queries import q_broadcast_dim_join
+
+    assert has_broadcast_join(q_broadcast_dim_join(spark, SF))
+
+
+def test_ordered_stage_single_exchange(spark):
+    """with_section_index computes lag + running-sum over the same
+    (conv_id, turn_idx) window: Catalyst must plan ONE exchange, not
+    one per window function."""
+    df = spark.createDataFrame(
+        [("c", i, "user") for i in range(10)],
+        "conv_id string, turn_idx int, role string",
+    )
+    out = with_section_index(df)
+    assert count_exchanges(out) == 1, physical_plan(out)
+
+
+def test_mention_join_is_broadcast(spark):
+    """Linking joins the mention stream against the tiny winners dim —
+    must broadcast, never shuffle the stream."""
+    from rkts_migration_spark.extract import extract_mentions
+    from rkts_migration_spark.fixtures import fixtures_to_spark, make_fixtures
+    from rkts_migration_spark.link import link_mentions
+
+    tables = fixtures_to_spark(spark, make_fixtures(seed=42, n_convs=5))
+    mentions = extract_mentions(tables["transcripts"], tables["gazetteer"])
+    linked = link_mentions(mentions, tables["gazetteer"])
+    assert has_broadcast_join(linked)
