@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from rkts_migration_spark import queries as _q
+from rkts_migration_spark import queries_ext as _qext  # noqa: F401  (registers)
 from rkts_migration_spark import queries_kg as _qkg  # noqa: F401  (registers)
 from rkts_migration_spark.queries_kg import q_kg_triples_full
 

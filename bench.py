@@ -19,9 +19,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _time_count(df) -> tuple[float, int]:
+def _time_count(df_thunk) -> tuple[float, int]:
+    """Times plan construction + execution (build_triples_inmem
+    materializes stage caches eagerly, so the thunk is measured work)."""
     t0 = time.time()
-    n = df.count()
+    n = df_thunk().count()
     return time.time() - t0, n
 
 
@@ -31,6 +33,7 @@ def main() -> int:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from rkts_migration_spark import queries as _q
+    from rkts_migration_spark import queries_ext  # noqa: F401
     from rkts_migration_spark import queries_kg  # noqa: F401
     from rkts_migration_spark.entrydata import transcripts_from_lineitem
     from rkts_migration_spark.fixtures import fixtures_to_spark, make_fixtures
@@ -41,6 +44,9 @@ def main() -> int:
         app_name="bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus) * 2,
+        # small-data knob (see scripts/scaling_bench.py): keep post-
+        # shuffle stages at 2-4 waves instead of one tail-bound wave
+        extra_conf={"spark.sql.adaptive.advisoryPartitionSizeInBytes": "8MB"},
     )
 
     timings: dict[str, float] = {}
@@ -48,7 +54,7 @@ def main() -> int:
     # --- flagship: full KG pipeline over scale-proportional input -----
     tables = fixtures_to_spark(spark, make_fixtures(seed=42, n_convs=1))
     tables["transcripts"] = transcripts_from_lineitem(spark, sf_dir)
-    kg_sec, kg_triples = _time_count(build_triples_inmem(spark, tables))
+    kg_sec, kg_triples = _time_count(lambda: build_triples_inmem(spark, tables))
     timings["kg_pipeline"] = round(kg_sec, 3)
 
     # --- operator headliners ------------------------------------------
@@ -61,12 +67,14 @@ def main() -> int:
         "q_minhash_candidates",
         "q_simhash",
         "q_cosine_topk",
+        "q_ann_lsh",
+        "q_location_parse",
         "q_token_stats",
         "q_nt_lines",
     ]
     qs = _q.queries()
     for name in headliners:
-        sec, _ = _time_count(qs[name](spark, sf_dir))
+        sec, _ = _time_count(lambda: qs[name](spark, sf_dir))
         timings[name] = round(sec, 3)
 
     total = round(sum(timings.values()), 3)

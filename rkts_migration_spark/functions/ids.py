@@ -28,20 +28,35 @@ def pad_id_col(c: Column) -> Column:
     return F.when(digits == "", c).otherwise(F.concat(prefix, padded, suffix))
 
 
+def zpad_col(c: Column, width: int) -> Column:
+    """%0<width>d for a non-negative integral column via concat/lpad —
+    format_string goes through java.util.Formatter (slow, allocation-
+    heavy); lpad stays in UTF8String. Guard keeps >width digit runs
+    intact (lpad truncates, Formatter does not)."""
+    s = c.cast("string")
+    return F.when(F.length(s) >= width, s).otherwise(F.lpad(s, width, "0"))
+
+
 def conv_iri_col(conv_id: Column) -> Column:
     return F.concat(F.lit(V.CONV), conv_id)
 
 
 def turn_iri_col(conv_id: Column, turn_idx: Column) -> Column:
-    return F.format_string(V.CONV + "%s/turn/%04d", conv_id, turn_idx)
+    return F.concat(
+        F.lit(V.CONV), conv_id, F.lit("/turn/"), zpad_col(turn_idx, 4)
+    )
 
 
 def section_iri_col(conv_id: Column, k: Column) -> Column:
     """sha256-facet node: upper(sha256(conv#k)[:6]) + '_' + %02d."""
     h = F.upper(
-        F.substring(F.sha2(F.format_string("%s#%d", conv_id, k), 256), 1, 6)
+        F.substring(
+            F.sha2(F.concat(conv_id, F.lit("#"), k.cast("string")), 256), 1, 6
+        )
     )
-    return F.format_string(V.CONV + "%s/section/%s_%02d", conv_id, h, k)
+    return F.concat(
+        F.lit(V.CONV), conv_id, F.lit("/section/"), h, F.lit("_"), zpad_col(k, 2)
+    )
 
 
 def entity_iri_col(canonical_id: Column, abstract_local: Column) -> Column:
@@ -52,4 +67,6 @@ def entity_iri_col(canonical_id: Column, abstract_local: Column) -> Column:
 
 
 def int_lit_col(c: Column) -> Column:
-    return F.format_string('"%s"^^<' + V.XSD_INT + ">", c.cast("string"))
+    return F.concat(
+        F.lit('"'), c.cast("string"), F.lit('"^^<' + V.XSD_INT + ">")
+    )

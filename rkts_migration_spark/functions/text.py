@@ -20,6 +20,13 @@ _CTL = [o for o in range(0x20) if o not in (0x09, 0x0A, 0x0D)]
 
 
 def nt_escape_col(c: Column) -> Column:
+    """Guarded escape: one rlike scan decides whether any escaping is
+    needed at all; the 34-replace chain only runs on the (rare) rows
+    that contain a quote/backslash/control char. Codegen compiles the
+    WHEN into a branch, so clean strings cost exactly one regex scan
+    instead of 34 — this is the difference between the N-Triples
+    formatter being free and being the pipeline's hottest operator."""
+    needs = c.rlike('[\\x00-\\x1F"\\\\]')
     out = F.regexp_replace(c, r"\\", r"\\\\")
     out = F.regexp_replace(out, '"', '\\\\"')
     out = F.regexp_replace(out, "\t", "\\\\t")
@@ -27,7 +34,7 @@ def nt_escape_col(c: Column) -> Column:
     out = F.regexp_replace(out, "\r", "\\\\r")
     for o in _CTL:
         out = F.regexp_replace(out, f"\\x{o:02x}", f"\\\\u{o:04X}")
-    return out
+    return F.when(needs, out).otherwise(c)
 
 
 def str_lit_col(c: Column, lang) -> Column:

@@ -30,7 +30,7 @@ from .functions.ids import (
     turn_iri_col,
 )
 from .functions.text import norm_label_col, str_lit_col
-from .operators.dedup import first_wins, with_first_flag
+from .operators.dedup import with_first_flag
 from .operators.salt import salted_count
 from .operators.sections import section_bounds
 
@@ -97,28 +97,52 @@ def section_triples(turns_with_section: DataFrame) -> DataFrame:
     )
 
 
-def _with_entity_iri(df: DataFrame, abstract_lookup: DataFrame) -> DataFrame:
-    """Attach entity_iri for a canon_id column via broadcast abstract join."""
-    return df.join(F.broadcast(abstract_lookup), "canon_id", "left").withColumn(
-        "entity_iri", entity_iri_col(F.col("canon_id"), F.col("abstract_local"))
+def build_entity_iri_map(
+    gazetteer: DataFrame, canonical_map: DataFrame, abstract_lookup: DataFrame
+) -> DataFrame:
+    """(canon_id, entity_iri): IRIs minted once on the gazetteer-sized
+    dimension, broadcast everywhere. Minting (pad_id_col = three
+    regexp_extracts) on the mention stream would run per mention row;
+    every canon_id in the stream comes from the canonicalized gazetteer,
+    so the complete key universe is dimension-sized by construction."""
+    from .canonicalize import apply_canonical
+
+    ids = gazetteer.select("entity_id").distinct()
+    ids = apply_canonical(ids, canonical_map, "entity_id", "canon_id")
+    canon = ids.select("canon_id").distinct()
+    withabs = canon.join(F.broadcast(abstract_lookup), "canon_id", "left")
+    return withabs.select(
+        "canon_id",
+        entity_iri_col(F.col("canon_id"), F.col("abstract_local")).alias(
+            "entity_iri"
+        ),
     )
 
 
-def mention_triples(linked_canon: DataFrame, abstract_lookup: DataFrame) -> DataFrame:
-    """(turn, mentions, entity) — distinct per (turn, canonical entity)."""
-    df = _with_entity_iri(linked_canon, abstract_lookup)
-    return (
-        df.select(
-            turn_iri_col(F.col("conv_id"), F.col("turn_idx")).alias("subj"),
-            F.lit(V.PRED_MENTIONS).alias("pred"),
-            F.col("entity_iri").alias("obj"),
-        )
-        .distinct()
+def _with_entity_iri(df: DataFrame, entity_iri_map: DataFrame) -> DataFrame:
+    """Attach the pre-minted entity_iri via broadcast join on canon_id."""
+    return df.join(F.broadcast(entity_iri_map), "canon_id", "left")
+
+
+def mention_triples(linked_canon: DataFrame, entity_iri_map: DataFrame) -> DataFrame:
+    """(turn, mentions, entity) — distinct per (turn, canonical entity).
+
+    Distinct runs FIRST, on the narrow native columns (conv_id,
+    turn_idx, canon_id): the shuffle moves 3 small values per row, and
+    IRI strings are built only for the surviving rows. Distinct-ing
+    pre-rendered (subj, obj) strings would shuffle ~10x the bytes for
+    the identical result (entity_iri is a function of canon_id)."""
+    keys = linked_canon.select("conv_id", "turn_idx", "canon_id").distinct()
+    df = _with_entity_iri(keys, entity_iri_map)
+    return df.select(
+        turn_iri_col(F.col("conv_id"), F.col("turn_idx")).alias("subj"),
+        F.lit(V.PRED_MENTIONS).alias("pred"),
+        F.col("entity_iri").alias("obj"),
     )
 
 
 def top_entity_triples(
-    linked_canon: DataFrame, abstract_lookup: DataFrame, salt_buckets: int = 16
+    linked_canon: DataFrame, entity_iri_map: DataFrame, salt_buckets: int = 16
 ) -> DataFrame:
     """(conv, topEntity, entity): max mention count per conversation,
     ties -> numeric-min canonical id. Two-phase salted count because
@@ -143,7 +167,7 @@ def top_entity_triples(
         )
         .select("conv_id", F.col("w.canon_id").alias("canon_id"))
     )
-    top = _with_entity_iri(top, abstract_lookup)
+    top = _with_entity_iri(top, entity_iri_map)
     return top.select(
         conv_iri_col(F.col("conv_id")).alias("subj"),
         F.lit(V.PRED_TOP_ENTITY).alias("pred"),
@@ -151,15 +175,34 @@ def top_entity_triples(
     )
 
 
-def label_triples(linked_canon: DataFrame, abstract_lookup: DataFrame) -> DataFrame:
+def label_triples(linked_canon: DataFrame, entity_iri_map: DataFrame) -> DataFrame:
     """prefLabel (first per (entity, lang)) / altLabel (later distinct
     normalized labels) under corpus document order (conv, turn, midx)."""
     base = linked_canon.withColumn("norm_label", norm_label_col(F.col("matched")))
-    # first occurrence of each distinct normalized label per entity
-    label_winners = first_wins(
-        base,
-        group_cols=["canon_id", "norm_label"],
-        order_cols=["conv_id", "turn_idx", "midx"],
+    # First occurrence of each distinct normalized label per entity.
+    # This is an ARGMIN aggregation, not a window: group cardinality is
+    # tiny (entities x labels) while group size is the whole corpus, so
+    # a row_number window would sort millions of rows inside a handful
+    # of partitions — a straggler that no amount of executors fixes.
+    # min(struct(order..., payload...)) gets map-side partial aggregation:
+    # each task reduces its split to one candidate row per group before
+    # the (tiny) shuffle. Semantics identical to first_wins because
+    # (conv_id, turn_idx, midx) is unique per mention row.
+    label_winners = (
+        base.groupBy("canon_id", "norm_label")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("conv_id"),
+                    F.col("turn_idx"),
+                    F.col("midx"),
+                    F.col("matched"),
+                    F.col("lang"),
+                )
+            ).alias("w")
+        )
+        .select("canon_id", "norm_label", "w.conv_id", "w.turn_idx",
+                "w.midx", "w.matched", "w.lang")
     )
     flagged = with_first_flag(
         label_winners,
@@ -167,7 +210,7 @@ def label_triples(linked_canon: DataFrame, abstract_lookup: DataFrame) -> DataFr
         order_cols=["conv_id", "turn_idx", "midx"],
         flag_col="is_pref",
     )
-    df = _with_entity_iri(flagged, abstract_lookup)
+    df = _with_entity_iri(flagged, entity_iri_map)
     return df.select(
         F.col("entity_iri").alias("subj"),
         F.when(F.col("is_pref"), F.lit(V.PRED_PREF_LABEL))
@@ -180,7 +223,7 @@ def label_triples(linked_canon: DataFrame, abstract_lookup: DataFrame) -> DataFr
 def entity_prop_triples(
     entity_props: DataFrame,
     canonical_map: DataFrame,
-    abstract_lookup: DataFrame,
+    entity_iri_map: DataFrame,
     mentioned_canon: DataFrame,
 ) -> DataFrame:
     """workIsAbout/workGenre for mentioned canonical entities; self-
@@ -190,7 +233,7 @@ def entity_prop_triples(
     props = props.join(mentioned_canon, "canon_id", "left_semi")
     # two source refs can canonicalize to the same (canon, prop, obj)
     props = props.select("canon_id", "prop", "obj").distinct()
-    df = _with_entity_iri(props, abstract_lookup)
+    df = _with_entity_iri(props, entity_iri_map)
     return df.select(
         F.col("entity_iri").alias("subj"),
         F.when(F.col("prop") == "ab", F.lit(V.PRED_WORK_IS_ABOUT))
@@ -210,6 +253,7 @@ def assemble_triples(
     abstract_lookup: DataFrame,
     entity_props: DataFrame,
     salt_buckets: int = 16,
+    gazetteer: DataFrame | None = None,
 ) -> DataFrame:
     """Union of every family — the global-graph union (U1 analog,
     /root/reference/utils.php:833-840).
@@ -221,15 +265,28 @@ def assemble_triples(
     A trailing distinct would re-shuffle the entire output for nothing
     — at 100 TB that is the single biggest avoidable exchange."""
     mentioned = linked_canon.select("canon_id").distinct()
+    if gazetteer is not None:
+        entity_iri_map = build_entity_iri_map(
+            gazetteer, canonical_map, abstract_lookup
+        )
+    else:  # fall back to the mention stream for the key universe
+        entity_iri_map = mentioned.join(
+            F.broadcast(abstract_lookup), "canon_id", "left"
+        ).select(
+            "canon_id",
+            entity_iri_col(F.col("canon_id"), F.col("abstract_local")).alias(
+                "entity_iri"
+            ),
+        )
     fams = [
         turn_triples(turns_with_section),
         conv_triples(turns_with_section),
         section_triples(turns_with_section),
-        mention_triples(linked_canon, abstract_lookup),
-        top_entity_triples(linked_canon, abstract_lookup, salt_buckets),
-        label_triples(linked_canon, abstract_lookup),
+        mention_triples(linked_canon, entity_iri_map),
+        top_entity_triples(linked_canon, entity_iri_map, salt_buckets),
+        label_triples(linked_canon, entity_iri_map),
         entity_prop_triples(
-            entity_props, canonical_map, abstract_lookup, mentioned
+            entity_props, canonical_map, entity_iri_map, mentioned
         ),
     ]
     out = fams[0]

@@ -43,16 +43,26 @@ def build_triples_inmem(
     extraction stage would re-run once per family, the same work the
     checkpointed path avoids by writing stage tables."""
     ordered = with_section_index(tables["transcripts"]).persist()
+    # Eager materialization: the triple families are independent plan
+    # branches that AQE submits CONCURRENTLY; left lazy, their tasks
+    # race to build the same cache partitions and block on the per-
+    # partition cache lock while holding task slots (observed: 4
+    # duplicate 64-task stages spanning the whole extraction phase).
+    # One eager pass each runs extraction exactly once at full
+    # parallelism; every family then reads the finished cache.
+    ordered.count()
     mentions = extract_mentions(ordered, tables["gazetteer"])
     canonical_map = build_canonical_map(
         tables["id_remap"], tables["cross_corpus_map"], tables["same_text_map"]
     )
     linked = link_mentions(mentions, tables["gazetteer"])
     linked = apply_canonical(linked, canonical_map, "entity_id", "canon_id").persist()
+    linked.count()
     abstract_lookup = build_abstract_lookup(tables["abstract_map"], canonical_map)
     return assemble_triples(
         ordered, linked, canonical_map, abstract_lookup,
         tables["entity_props"], salt_buckets=salt_buckets,
+        gazetteer=tables["gazetteer"],
     )
 
 
@@ -136,6 +146,7 @@ def run_pipeline(
             abstract_lookup,
             tables["entity_props"],
             salt_buckets=salt_buckets,
+            gazetteer=tables["gazetteer"],
         )
         manifests["triples"] = write_stage(
             triples, checkpoint_root, "triples", run_id

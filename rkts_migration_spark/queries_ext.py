@@ -1,0 +1,430 @@
+"""Extended operator-family queries (SURVEY.md §2.8 scalar functions,
+§4.2 iterative CC, similarity scale path, multimodal plumbing) — each
+paired with a DuckDB oracle where SQL can express it.
+
+Cross-engine determinism: location strings are CONSTRUCTED from integer
+columns so the oracle can emit the expected parse directly (the parser
+must invert the construction); LSH planes are integer-formula-derived
+(no float literals, no RNG); cosine goes through integer quantization
+like q_cosine_topk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.locations import folio_side_to_pagenum, make_parse_location_udf
+from .functions.text import add_shad, guess_lang
+from .queries import _t, register
+
+# =====================================================================
+# F9 location grammar: construct -> parse must invert the construction
+# =====================================================================
+
+_LOC_SECTIONS = ("rgyud", "mdo sde", "gzugs")
+_LOC_BLETTERS = ("ka", "kha", "ga", "nga")
+# 5th letter is deliberately NOT in ALLOWED_VOL_LETTERS -> error channel
+_LOC_ELETTERS = ("ca", "cha", "ja", "nya", "xx")
+
+
+def _pick(col, options):
+    expr = F.lit(options[-1])
+    for i in range(len(options) - 2, -1, -1):
+        expr = F.when(col % len(options) == i, F.lit(options[i])).otherwise(expr)
+    return expr
+
+
+def _sql_pick(col: str, options) -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN '{opt}'" for i, opt in enumerate(options[:-1])
+    )
+    return f"CASE {col} % {len(options)} {whens} ELSE '{options[-1]}' END"
+
+
+@register("q_location_parse", f"""
+WITH f AS (
+  SELECT o_orderkey,
+         {_sql_pick("o_orderkey", _LOC_SECTIONS)} AS section,
+         {_sql_pick("o_orderkey", _LOC_BLETTERS)} AS bvolname,
+         {_sql_pick("o_orderkey", _LOC_ELETTERS)} AS evolname,
+         CAST(o_orderkey % 300 + 1 AS INT) AS bpagenum,
+         CASE o_orderkey % 2 WHEN 0 THEN 'a' ELSE 'b' END AS bpageside,
+         CAST(o_orderkey % 7 + 1 AS INT) AS blinenum,
+         CAST(o_orderkey % 300 + o_orderkey % 50 + 2 AS INT) AS epagenum,
+         CASE o_orderkey % 2 WHEN 0 THEN 'b' ELSE 'a' END AS epageside,
+         CAST(o_orderkey % 6 + 1 AS INT) AS elinenum,
+         CAST(o_orderkey % 90 + 1 AS INT) AS bvolnum,
+         CAST(o_orderkey % 90 + o_orderkey % 4 + 1 AS INT) AS evolnum
+  FROM orders)
+SELECT section, bvolname, evolname, bpagenum, bpageside, blinenum,
+       epagenum, epageside, elinenum, bvolnum, evolnum,
+       evolname <> 'xx' AS valid,
+       CASE WHEN evolname = 'xx'
+            THEN 'invalid_volume_letter: ' || chr(39) || 'xx' || chr(39)
+            END AS error
+FROM f
+""")
+def q_location_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 grammar (utils.php:564-746 analog): location strings are
+    built from orders columns, then the pandas-UDF parser must recover
+    every field; the 'xx' volume letter exercises the F10 whitelist
+    error channel. The oracle emits the constructed fields directly —
+    parse must invert construction exactly."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    loc_str = F.format_string(
+        "%s, %s %d%s%d-%s %d%s%d (vol. %d-%d)",
+        _pick(k, _LOC_SECTIONS),
+        _pick(k, _LOC_BLETTERS),
+        (k % 300 + 1).cast("int"),
+        F.when(k % 2 == 0, "a").otherwise("b"),
+        (k % 7 + 1).cast("int"),
+        _pick(k, _LOC_ELETTERS),
+        (k % 300 + k % 50 + 2).cast("int"),
+        F.when(k % 2 == 0, "b").otherwise("a"),
+        (k % 6 + 1).cast("int"),
+        (k % 90 + 1).cast("int"),
+        (k % 90 + k % 4 + 1).cast("int"),
+    )
+    parse = make_parse_location_udf("full")
+    return o.select(parse(loc_str).alias("loc")).select("loc.*")
+
+
+# =====================================================================
+# F7 add_shad: EWTS shad rules, pandas UDF vs SQL CASE mirror
+# =====================================================================
+
+@register("q_add_shad", """
+WITH w AS (
+  SELECT DISTINCT regexp_extract(p_name, '([a-z]+)$', 1) AS word FROM part),
+c AS (
+  SELECT word, length(word) AS n,
+         CASE WHEN substr(word, length(word), 1) IN ('a','i','e','o')
+              THEN substr(word, length(word) - 1, 1)
+              ELSE substr(word, length(word), 1) END AS lst,
+         substr(word, length(word) - 2, 1) AS c3,
+         substr(word, length(word) - 3, 1) AS c4
+  FROM w)
+SELECT word,
+       CASE WHEN n < 2 THEN word
+            WHEN n > 2 AND lst = 'g' AND c3 = 'n' THEN word || ' /'
+            WHEN lst IN ('g', 'k') THEN word
+            WHEN n = 3 AND lst = 'h' AND c3 = 's' THEN word
+            WHEN n > 3 AND lst = 'h' AND c3 = 's' AND c4 <> 't' THEN word
+            ELSE word || '/' END AS shadded
+FROM c
+""")
+def q_add_shad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 (utils.php:777-793 parity): shad-appending over the distinct
+    final words of part names ('ring' hits the n+g rule, vowel-finals
+    hit the look-back-one rule)."""
+    p = _t(spark, sf_dir, "part")
+    words = p.select(
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("word")
+    ).distinct()
+    return words.select("word", add_shad(F.col("word")).alias("shadded"))
+
+
+# =====================================================================
+# F15 guess_lang: trailing-shad heuristic, pandas UDF vs SQL
+# =====================================================================
+
+@register("q_guess_lang", """
+SELECT doc_id,
+       CASE WHEN rtrim(t) LIKE '%/' THEN 'bo-x-ewts' ELSE 'en' END AS lang_guess
+FROM (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' /' ELSE text END AS t
+      FROM documents)
+""")
+def q_guess_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 (migrate-bvm.py:27-53 analog): every third document gets an
+    EWTS trailing shad appended; the guesser must flag exactly those.
+    (Unicode-block branches are covered by unit tests; the driver
+    corpus is ASCII.)"""
+    d = _t(spark, sf_dir, "documents")
+    t = F.when(F.col("doc_id") % 3 == 0, F.concat("text", F.lit(" /"))).otherwise(
+        F.col("text")
+    )
+    return d.select("doc_id", guess_lang(t).alias("lang_guess"))
+
+
+# =====================================================================
+# F11 folio arithmetic (utils.php:390-403)
+# =====================================================================
+
+@register("q_folio_pagenum", """
+SELECT l_orderkey, l_linenumber, folio, side,
+       CAST(2 * (folio - 1) + 2 + CASE WHEN side = 'b' THEN 1 ELSE 0 END
+            AS INT) AS pagenum
+FROM (SELECT l_orderkey, l_linenumber,
+             CAST(l_orderkey % 50 + 1 AS INT) AS folio,
+             CASE l_linenumber % 2 WHEN 0 THEN 'a' ELSE 'b' END AS side
+      FROM lineitem)
+""")
+def q_folio_pagenum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: folio+side -> image number, pure arithmetic column expr
+    (first_folio_page fixed at 2; per-volume overrides broadcast-join
+    in the real flow)."""
+    li = _t(spark, sf_dir, "lineitem")
+    folio = (F.col("l_orderkey") % 50 + 1).cast("int")
+    side = F.when(F.col("l_linenumber") % 2 == 0, "a").otherwise("b")
+    return li.select(
+        "l_orderkey", "l_linenumber", folio.alias("folio"), side.alias("side"),
+        folio_side_to_pagenum(folio, side, F.lit(2)).alias("pagenum"),
+    )
+
+
+# =====================================================================
+# §4.2 iterative connected components vs recursive-CTE oracle
+# =====================================================================
+
+@register("q_connected_components", """
+WITH RECURSIVE e AS (
+  SELECT printf('C%06d', c_custkey) AS a, printf('N%03d', c_nationkey) AS b
+  FROM customer),
+sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+reach(node, lab) AS (
+  SELECT a AS node, a AS lab FROM sym
+  UNION
+  SELECT sym.a, reach.lab FROM sym JOIN reach ON sym.b = reach.node)
+SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+""")
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed min-label-propagation loop (operators/cc.py, the
+    canonicalization fixpoint SURVEY.md §4.2) on a customer--nation
+    bipartite graph, checked against DuckDB's recursive-CTE transitive
+    closure. Representative = lexicographic min (labels are padded)."""
+    from .operators.cc import connected_components
+
+    c = _t(spark, sf_dir, "customer")
+    edges = c.select(
+        F.format_string("C%06d", "c_custkey").alias("src"),
+        F.format_string("N%03d", "c_nationkey").alias("dst"),
+    )
+    return connected_components(edges)
+
+
+# =====================================================================
+# Similarity scale path: LSH-bucketed ANN with integer-formula planes
+# =====================================================================
+
+_N_PLANES = 4
+
+
+def _sql_plane_dot(p: int) -> str:
+    return (
+        "list_sum(list_transform(range(1, len(bv) + 1), "
+        f"i -> bv[i] * ((({p} * 31 + (i - 1) * 17) % 19) - 9)))"
+    )
+
+
+_SQL_BUCKET = " + ".join(
+    f"(CASE WHEN {_sql_plane_dot(p)} >= 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(_N_PLANES)
+)
+
+@register("q_ann_lsh", f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS bv
+  FROM embeddings),
+sig AS (SELECT vec_id, bv, {_SQL_BUCKET} AS bucket FROM base),
+cand AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(q.bv) + 1),
+                  i -> q.bv[i] * b.bv[i])) AS dot,
+         list_sum(list_transform(q.bv, x -> x * x)) AS qn,
+         list_sum(list_transform(b.bv, x -> x * x)) AS bn
+  FROM sig q JOIN sig b ON q.bucket = b.bucket AND q.vec_id <> b.vec_id
+  WHERE q.vec_id < 5)
+SELECT query_id, neighbor_id,
+       CAST(ROUND(CAST(dot AS DECIMAL(38,6))
+            / CAST(SQRT(CAST(qn AS DOUBLE) * CAST(bn AS DOUBLE)) AS DECIMAL(38,6)),
+            4) AS DOUBLE) AS cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY CAST(dot AS DOUBLE) / SQRT(CAST(qn AS DOUBLE) * CAST(bn AS DOUBLE)) DESC,
+                      neighbor_id) AS rn
+  FROM cand) t
+WHERE rn <= 3
+""")
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors: random-hyperplane LSH buckets the
+    base ONCE (planes from an integer formula — deterministic in both
+    engines, sign decisions exact), candidates come from an equi-join
+    on the bucket id instead of a cross join. The shuffle moves
+    per-bucket groups — the 100 TB-safe shape (q_cosine_topk is the
+    exact baseline this approximates)."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x * 1000).cast("long")).alias("bv"),
+    )
+
+    def plane_dot(p: int):
+        prod = F.transform(
+            "bv", lambda x, i: x * (((F.lit(p * 31) + i * 17) % 19) - 9)
+        )
+        return F.aggregate(prod, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    bucket = None
+    for p in range(_N_PLANES):
+        term = F.when(plane_dot(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    sig = base.withColumn("bucket", bucket)
+
+    q = sig.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("bv").alias("qv"), "bucket"
+    )
+    cand = (
+        q.join(sig, "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with("qv", "bv", lambda a, b: a * b),
+                F.lit(0).cast("long"), lambda acc, x: acc + x,
+            ).alias("dot"),
+            F.aggregate(
+                F.transform("qv", lambda x: x * x),
+                F.lit(0).cast("long"), lambda acc, x: acc + x,
+            ).alias("qn"),
+            F.aggregate(
+                F.transform("bv", lambda x: x * x),
+                F.lit(0).cast("long"), lambda acc, x: acc + x,
+            ).alias("bn"),
+        )
+    )
+    cos_d = F.col("dot").cast("double") / F.sqrt(
+        F.col("qn").cast("double") * F.col("bn").cast("double")
+    )
+    w = Window.partitionBy("query_id").orderBy(cos_d.desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                F.col("dot").cast("decimal(38,6)")
+                / F.sqrt(F.col("qn").cast("double") * F.col("bn").cast("double"))
+                .cast("decimal(38,6)"),
+                4,
+            ).cast("double").alias("cosine"),
+        )
+    )
+
+
+# =====================================================================
+# A6 duplicate detection within an ordered partition
+# =====================================================================
+
+@register("q_dup_detect", """
+SELECT l_orderkey, l_linenumber, pg,
+       COUNT(*) OVER (PARTITION BY l_orderkey, pg) > 1 AS is_dup
+FROM (SELECT l_orderkey, l_linenumber,
+             CAST(l_partkey % 100 AS INT) AS pg
+      FROM lineitem)
+""")
+def q_dup_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (migrate-bvm.py:243-260 analog): flag pagination values seen
+    more than once within their volume partition — count window, no
+    self-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    pg = (F.col("l_partkey") % 100).cast("int")
+    w = Window.partitionBy("l_orderkey", "pg")
+    return li.select(
+        "l_orderkey", "l_linenumber", pg.alias("pg")
+    ).withColumn("is_dup", F.count(F.lit(1)).over(w) > 1)
+
+
+# =====================================================================
+# J10 folio->imgnum map join with fallback chain (1a -> 1b -> last img)
+# =====================================================================
+
+@register("q_folio_map_join", """
+WITH fm AS (
+  SELECT folio, side, CAST(folio * 2 + CASE WHEN side = 'b' THEN 1 ELSE 0 END
+                           AS INT) AS imgnum
+  FROM (SELECT DISTINCT CAST(p_partkey % 50 + 1 AS INT) AS folio FROM part)
+  CROSS JOIN (SELECT 'a' AS side UNION ALL SELECT 'b')
+  WHERE NOT (side = 'a' AND folio % 3 = 0)
+    AND NOT (side = 'b' AND folio % 5 = 0)),
+req AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_orderkey % 50 + 1 AS INT) AS folio,
+         CASE l_linenumber % 2 WHEN 0 THEN 'a' ELSE 'b' END AS side
+  FROM lineitem)
+SELECT r.l_orderkey, r.l_linenumber, r.folio, r.side,
+       CAST(COALESCE(m1.imgnum, m2.imgnum,
+                     (SELECT MAX(imgnum) FROM fm)) AS INT) AS imgnum
+FROM req r
+LEFT JOIN fm m1 ON m1.folio = r.folio AND m1.side = r.side
+LEFT JOIN fm m2 ON m2.folio = r.folio AND m2.side = 'b' AND r.side = 'a'
+""")
+def q_folio_map_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 (utils.php:351-389): look the folio up in the per-volume
+    map; an 'a' side missing from the map retries the 'b' side
+    (utils.php:379-383); still missing -> last image number
+    (utils.php:384-387). Three broadcast joins + one coalesce chain —
+    zero shuffles on the big side."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    folios = part.select(
+        (F.col("p_partkey") % 50 + 1).cast("int").alias("folio")
+    ).distinct()
+    sides = spark.createDataFrame([("a",), ("b",)], "side string")
+    fm = (
+        folios.crossJoin(sides)
+        .filter(
+            ~((F.col("side") == "a") & (F.col("folio") % 3 == 0))
+            & ~((F.col("side") == "b") & (F.col("folio") % 5 == 0))
+        )
+        .select(
+            "folio", "side",
+            (F.col("folio") * 2 + F.when(F.col("side") == "b", 1).otherwise(0))
+            .cast("int").alias("imgnum"),
+        )
+    )
+    req = li.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_orderkey") % 50 + 1).cast("int").alias("folio"),
+        F.when(F.col("l_linenumber") % 2 == 0, "a").otherwise("b").alias("side"),
+    )
+    m1 = fm.select(
+        F.col("folio").alias("f1"), F.col("side").alias("s1"),
+        F.col("imgnum").alias("img1"))
+    m2 = fm.filter(F.col("side") == "b").select(
+        F.col("folio").alias("f2"), F.col("imgnum").alias("img2"))
+    last_img = fm.agg(F.max("imgnum").alias("img_last"))
+    return (
+        req.join(F.broadcast(m1),
+                 (F.col("folio") == F.col("f1")) & (F.col("side") == F.col("s1")),
+                 "left")
+        .join(F.broadcast(m2),
+              (F.col("folio") == F.col("f2")) & (F.col("side") == F.lit("a")),
+              "left")
+        .crossJoin(F.broadcast(last_img))
+        .select(
+            "l_orderkey", "l_linenumber", "folio", "side",
+            F.coalesce("img1", "img2", "img_last").cast("int").alias("imgnum"),
+        )
+    )
+
+
+# =====================================================================
+# Multimodal plumbing (binary payloads, mapInPandas) — rows-only
+# =====================================================================
+
+@register("q_media_features", None)  # binary mapInPandas => rows-only
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media -> per-item (n_bytes, sha, feature) via the
+    Arrow-batched decode stub (operators/multimodal.py). The decode is
+    a deterministic fake (no codec libs in this container); schema,
+    batching and partitioning are the real scale plumbing."""
+    from .operators.multimodal import extract_media_features, synthetic_media
+
+    media = synthetic_media(spark, 64)
+    feats = extract_media_features(media, dim=8)
+    return feats.select("media_id", "kind", "n_bytes", "sha")
