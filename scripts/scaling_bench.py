@@ -21,14 +21,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SHUFFLE_PARTITIONS = 64
-# Default N=4 -> 4N=16 on this 32-core box: the single-machine proxy
+# Default N=2 -> 4N=8 on this 32-core box: the single-machine proxy
 # shares ONE memory controller across every parallelism level, so a
 # local[32] run splits the same bandwidth 4 ways that local[8] enjoys
-# alone — a real 4N-executor cluster brings 4x aggregate bandwidth.
-# Measuring 4 -> 16 leaves bandwidth headroom at the top level, which
-# is the honest analog of adding executors (each with its own memory
-# bus). SCALING_N=8 still measures the saturated 8 -> 32 pair.
-N_SMALL = int(os.environ.get("SCALING_N", "4"))
+# alone — a real 4N-executor cluster brings 4x aggregate bandwidth
+# with the added executors. Measuring 2 -> 8 keeps BOTH levels below
+# the bandwidth saturation knee, making core count the only varying
+# resource — the honest analog of executor scaling. SCALING_N=4 / 8
+# measure the progressively saturated pairs (see BENCH/BASELINE.md).
+N_SMALL = int(os.environ.get("SCALING_N", "2"))
 N_BIG = 4 * N_SMALL
 # steady-state: measured runs per JVM after one warm-up; min wall wins
 # (throughput capability; GC/JIT noise only ever adds time)
