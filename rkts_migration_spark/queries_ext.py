@@ -317,6 +317,54 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# A3 section volume list: ordered, consecutive-duplicate-collapsed
+# =====================================================================
+
+@register("q_section_volumes", """
+WITH v AS (
+  SELECT o_custkey, o_orderkey,
+         'V' || CAST(o_orderkey % 3 AS VARCHAR) AS vol
+  FROM orders),
+chg AS (
+  SELECT o_custkey, o_orderkey, vol,
+         LAG(vol) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS pv
+  FROM v)
+SELECT o_custkey,
+       string_agg(vol, '/' ORDER BY o_orderkey) AS vols
+FROM chg WHERE pv IS NULL OR pv <> vol
+GROUP BY o_custkey
+""")
+def q_section_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (utils.php:669-681, exportvolumemap.php:29-45 analog): the
+    ordered list of distinct-consecutive volume names per section —
+    lag-change filter, then an order-independent sort_array(struct)
+    aggregation (no reliance on collect_list physical order). Ordered
+    by the globally-unique o_orderkey so the lag is total-order-stable
+    in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    vol = F.concat(F.lit("V"), (F.col("o_orderkey") % 3).cast("string"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    chg = o.select(
+        "o_custkey", "o_orderkey", vol.alias("vol")
+    ).withColumn("pv", F.lag("vol").over(w))
+    kept = chg.filter(F.col("pv").isNull() | (F.col("pv") != F.col("vol")))
+    return (
+        kept.groupBy("o_custkey")
+        .agg(
+            F.concat_ws(
+                "/",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("o_orderkey", "vol"))
+                    ),
+                    lambda s: s["vol"],
+                ),
+            ).alias("vols")
+        )
+    )
+
+
+# =====================================================================
 # A6 duplicate detection within an ordered partition
 # =====================================================================
 
