@@ -66,6 +66,26 @@ def entity_iri_col(canonical_id: Column, abstract_local: Column) -> Column:
     ).otherwise(F.concat(F.lit(V.ENTITY), pad_id_col(canonical_id)))
 
 
+def rdf_ci_to_url_col(c: Column) -> Column:
+    """F3 (rdf_ci_to_url, /root/reference/utils.php:45-56): pad the
+    LEADING digit run to 4 and uppercase the remainder ("7a"->"0007A",
+    "12345"->"12345", no leading digits -> "0000"+upper(id))."""
+    digits = F.regexp_extract(c, r"^([0-9]*)", 1)
+    rest = F.substr(c, F.length(digits) + F.lit(1))
+    padded = F.when(F.length(digits) >= 4, digits).otherwise(
+        F.lpad(digits, 4, "0")
+    )
+    return F.concat(padded, F.upper(rest))
+
+
+def eid_to_wlname_col(c: Column) -> Column:
+    """F12 (eid_to_wlname, /root/reference/utils.php:406-410):
+    "MW..."->"W..." with the single special case MW1BL6->W1ER156."""
+    return F.when(c == "MW1BL6", F.lit("W1ER156")).otherwise(
+        F.substr(c, F.lit(2))
+    )
+
+
 def int_lit_col(c: Column) -> Column:
     return F.concat(
         F.lit('"'), c.cast("string"), F.lit('"^^<' + V.XSD_INT + ">")

@@ -66,6 +66,54 @@ def norm_label_col(c: Column) -> Column:
     return F.translate(F.lower(c), " -", "")
 
 
+def catalogue_index_to_rdf_col(c: Column, eid_len: int) -> Column:
+    """F4 (catalogue_index_xml_to_rdf, /root/reference/utils.php:17-24):
+    strip the edition-id prefix, then '(', '.', ',' -> '-', ')' -> '',
+    '?' -> '_'. translate deletes chars whose target is absent."""
+    stripped = F.substring(c, eid_len + 1, 1_000_000)
+    return F.translate(stripped, "(.,?)", "---_")
+
+
+def chapter_title_clean_col(c: Column) -> Column:
+    """F18 (/root/reference/editionxmltottl.php:236-241): strip a
+    leading "N. " ordinal when the ". " occurs within the first 5
+    chars. (The reference's PHP treats a MISSING ". " as position 0
+    and silently drops 2 chars — an strpos-false bug we do not
+    reproduce; titles without ". " pass through unchanged.)"""
+    pos = F.instr(c, ". ")
+    return F.when((pos >= 1) & (pos <= 5), F.substr(c, pos + F.lit(2))).otherwise(c)
+
+
+# F16 comparepg (/root/reference/migrate-bvm.py:14,58-76): pagination
+# strings "<folio|x><'' dupl ticks><a|b>[?][(dN)]" compare by
+# (folio, ticks, side); 'x' or unparsable compares equal to anything.
+_PG_PATTERN = r"^(x|\d+)('*)([ab])(\??)(\(d\d*\))?"
+
+
+def pagination_parts(c: Column) -> tuple[Column, Column, Column, Column]:
+    """(valid, folio_int, tick_count, side) for a pagination string."""
+    folio = F.regexp_extract(c, _PG_PATTERN, 1)
+    ticks = F.length(F.regexp_extract(c, _PG_PATTERN, 2))
+    side = F.regexp_extract(c, _PG_PATTERN, 3)
+    valid = (folio != "") & (folio != "x")
+    return valid, folio.cast("int"), ticks, side
+
+
+def comparepg_col(a: Column, b: Column) -> Column:
+    """Sign of comparepg(a, b): folio diff, then dupl-tick count, then
+    side; equal strings, 'x' folios and unparsable inputs -> 0."""
+    av, af, at, asd = pagination_parts(a)
+    bv, bf, bt, bsd = pagination_parts(b)
+    side_cmp = F.when(asd > bsd, 1).when(asd < bsd, -1).otherwise(0)
+    tick_cmp = F.when(at > bt, 1).when(at < bt, -1).otherwise(side_cmp)
+    folio_cmp = F.when(af > bf, 1).when(af < bf, -1).otherwise(tick_cmp)
+    return (
+        F.when(a == b, 0)
+        .when(~av | ~bv, 0)
+        .otherwise(folio_cmp)
+    )
+
+
 # --- pandas UDFs (procedural, Arrow-batched) --------------------------------
 
 def _add_shad_one(s: str) -> str:

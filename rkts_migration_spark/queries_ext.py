@@ -176,6 +176,140 @@ def q_folio_pagenum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# F3/F4/F12/F18 reference string functions, one query
+# =====================================================================
+
+@register("q_ref_strfns", """
+WITH src AS (
+  SELECT p_partkey AS k,
+         'EIDD' || CAST(p_partkey AS VARCHAR) ||
+           CASE p_partkey % 5 WHEN 0 THEN '' WHEN 1 THEN '(1)'
+                WHEN 2 THEN '.2,3' WHEN 3 THEN '?x' ELSE ')' END AS ci_raw,
+         CAST(p_partkey % 700 AS VARCHAR) ||
+           CASE p_partkey % 3 WHEN 0 THEN '' WHEN 1 THEN 'a' ELSE 'bc' END
+           AS ci_url_in,
+         CASE WHEN p_partkey % 97 = 0 THEN 'MW1BL6'
+              ELSE 'MW' || CAST(p_partkey AS VARCHAR) END AS eid,
+         CASE p_partkey % 4 WHEN 0 THEN '1. intro' WHEN 1 THEN '1234. x'
+              WHEN 2 THEN 'chapter. none' ELSE 'no dot' END AS chap
+  FROM part)
+SELECT k,
+       translate(substr(ci_raw, 4), '(.,?)', '---_') AS ci_rdf,
+       (CASE WHEN length(regexp_extract(ci_url_in, '^([0-9]*)', 1)) >= 4
+             THEN regexp_extract(ci_url_in, '^([0-9]*)', 1)
+             ELSE lpad(regexp_extract(ci_url_in, '^([0-9]*)', 1), 4, '0') END)
+         || upper(substr(ci_url_in,
+                         length(regexp_extract(ci_url_in, '^([0-9]*)', 1)) + 1))
+         AS ci_url,
+       CASE WHEN eid = 'MW1BL6' THEN 'W1ER156' ELSE substr(eid, 2) END AS wlname,
+       CASE WHEN strpos(chap, '. ') BETWEEN 1 AND 5
+            THEN substr(chap, strpos(chap, '. ') + 2) ELSE chap END AS chap_clean
+FROM src
+""")
+def q_ref_strfns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 rdf_ci_to_url, F4 catalogue_index_xml_to_rdf (EID strip +
+    translate), F12 eid_to_wlname, F18 chapter-ordinal cleanup — all
+    pure column expressions, exercised over constructed part-key ids."""
+    from .functions.ids import eid_to_wlname_col, rdf_ci_to_url_col
+    from .functions.text import catalogue_index_to_rdf_col, chapter_title_clean_col
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    ci_raw = F.concat(
+        F.lit("EIDD"), k.cast("string"),
+        F.when(k % 5 == 0, "").when(k % 5 == 1, "(1)")
+        .when(k % 5 == 2, ".2,3").when(k % 5 == 3, "?x").otherwise(")"),
+    )
+    ci_url_in = F.concat(
+        (k % 700).cast("string"),
+        F.when(k % 3 == 0, "").when(k % 3 == 1, "a").otherwise("bc"),
+    )
+    eid = F.when(k % 97 == 0, "MW1BL6").otherwise(
+        F.concat(F.lit("MW"), k.cast("string"))
+    )
+    chap = (
+        F.when(k % 4 == 0, "1. intro").when(k % 4 == 1, "1234. x")
+        .when(k % 4 == 2, "chapter. none").otherwise("no dot")
+    )
+    return p.select(
+        k.alias("k"),
+        catalogue_index_to_rdf_col(ci_raw, eid_len=3).alias("ci_rdf"),
+        rdf_ci_to_url_col(ci_url_in).alias("ci_url"),
+        eid_to_wlname_col(eid).alias("wlname"),
+        chapter_title_clean_col(chap).alias("chap_clean"),
+    )
+
+
+# =====================================================================
+# F16/W8 pagination comparator + monotonicity audit
+# =====================================================================
+
+_PG_RX = "^(x|[0-9]+)(''*)([ab])"  # '' = escaped quote inside the SQL literal
+
+
+@register("q_folio_order", f"""
+WITH src AS (
+  SELECT o_custkey, o_orderkey,
+         (CASE WHEN o_orderkey % 13 = 0 THEN 'x'
+               ELSE CAST((o_orderkey * 7) % 40 + 1 AS VARCHAR) END)
+         || (CASE WHEN o_orderkey % 3 = 0 THEN chr(39) ELSE '' END)
+         || (CASE o_orderkey % 2 WHEN 0 THEN 'a' ELSE 'b' END)
+         || (CASE WHEN o_orderkey % 11 = 0 THEN '?' ELSE '' END) AS pg
+  FROM orders),
+lagged AS (
+  SELECT o_custkey, o_orderkey, pg,
+         LAG(pg) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev
+  FROM src),
+parsed AS (
+  SELECT *,
+         regexp_extract(prev, '{_PG_RX}', 1) AS f1,
+         length(regexp_extract(prev, '{_PG_RX}', 2)) AS t1,
+         regexp_extract(prev, '{_PG_RX}', 3) AS s1,
+         regexp_extract(pg, '{_PG_RX}', 1) AS f2,
+         length(regexp_extract(pg, '{_PG_RX}', 2)) AS t2,
+         regexp_extract(pg, '{_PG_RX}', 3) AS s2
+  FROM lagged)
+SELECT o_custkey, o_orderkey, pg, prev,
+       CASE WHEN prev IS NULL THEN FALSE
+            WHEN prev = pg THEN TRUE
+            WHEN f1 = '' OR f1 = 'x' OR f2 = '' OR f2 = 'x' THEN TRUE
+            WHEN CAST(f1 AS INT) > CAST(f2 AS INT) THEN TRUE
+            WHEN CAST(f1 AS INT) < CAST(f2 AS INT) THEN FALSE
+            WHEN t1 > t2 THEN TRUE
+            WHEN t1 < t2 THEN FALSE
+            WHEN s1 > s2 THEN TRUE
+            WHEN s1 < s2 THEN FALSE
+            ELSE TRUE END AS out_of_order
+FROM parsed
+""")
+def q_folio_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 comparepg (folio num, dupl ticks, a/b side; 'x'/unparsable
+    compare equal) driving the W8 monotonicity audit
+    (migrate-bvm.py:58-76,252-257): warn when comparepg(prev, cur) >
+    -1, i.e. the folio sequence fails to strictly increase."""
+    from .functions.text import comparepg_col
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    pg = F.concat(
+        F.when(k % 13 == 0, F.lit("x")).otherwise(
+            ((k * 7) % 40 + 1).cast("string")),
+        F.when(k % 3 == 0, F.lit("'")).otherwise(F.lit("")),
+        F.when(k % 2 == 0, F.lit("a")).otherwise(F.lit("b")),
+        F.when(k % 11 == 0, F.lit("?")).otherwise(F.lit("")),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    lagged = o.select("o_custkey", "o_orderkey", pg.alias("pg")).withColumn(
+        "prev", F.lag("pg").over(w)
+    )
+    cmp_ = comparepg_col(F.col("prev"), F.col("pg"))
+    return lagged.withColumn(
+        "out_of_order",
+        F.when(F.col("prev").isNull(), F.lit(False)).otherwise(cmp_ > -1),
+    )
+
+
+# =====================================================================
 # §4.2 iterative connected components vs recursive-CTE oracle
 # =====================================================================
 

@@ -116,3 +116,74 @@ def test_add_shad_truth_table():
     assert _add_shad_one("bam po") == "bam po/"
     assert _add_shad_one("x1") == "x1"            # non-letter end
     assert _add_shad_one("g") == "g"              # len < 2 guard
+
+
+def test_ref_string_functions(spark):
+    """F3/F4/F12/F18 golden pairs (utils.php:17-56,406-410;
+    editionxmltottl.php:236-241)."""
+    from rkts_migration_spark.functions.ids import (
+        eid_to_wlname_col,
+        rdf_ci_to_url_col,
+    )
+    from rkts_migration_spark.functions.text import (
+        catalogue_index_to_rdf_col,
+        chapter_title_clean_col,
+    )
+
+    df = spark.range(1)
+    # F3: leading digits padded to 4, suffix uppercased
+    for raw, want in [("7a", "0007A"), ("12", "0012"), ("12345", "12345"),
+                      ("302a5", "0302A5"), ("abc", "0000ABC")]:
+        assert _one(df, rdf_ci_to_url_col(F.lit(raw))) == want, raw
+    # F4: EID strip + punctuation translate
+    for raw, want in [("EIDD12(3.4)", "D12-3-4"), ("EIDD9?x,y", "D9_x-y")]:
+        assert _one(df, catalogue_index_to_rdf_col(F.lit(raw), 3)) == want, raw
+    # F12
+    assert _one(df, eid_to_wlname_col(F.lit("MW22084"))) == "W22084"
+    assert _one(df, eid_to_wlname_col(F.lit("MW1BL6"))) == "W1ER156"
+    # F18: ". " within first 5 chars strips the ordinal
+    for raw, want in [("1. intro", "intro"), ("1234. x", "x"),
+                      ("chapter. none", "chapter. none"), ("no dot", "no dot")]:
+        assert _one(df, chapter_title_clean_col(F.lit(raw))) == want, raw
+
+
+def test_comparepg_matches_reference(spark):
+    """F16 truth table mirroring migrate-bvm.py:58-76 comparepg."""
+    import re
+
+    from rkts_migration_spark.functions.text import comparepg_col
+
+    PG_RE = re.compile(
+        r"^(?P<folionum>x|\d+)(?P<duplind>'*)(?P<side>[ab])"
+        r"(?P<certaintyind>\??)(?P<detailind>\(d\d*\))?")
+
+    def ref_comparepg(pg1, pg2):  # transcribed semantics, not code
+        if pg1 == pg2:
+            return 0
+        m1, m2 = PG_RE.match(pg1), PG_RE.match(pg2)
+        if m1 is None or m2 is None:
+            return 0
+        if m1.group("folionum") == "x" or m2.group("folionum") == "x":
+            return 0
+        fd = int(m1.group("folionum")) - int(m2.group("folionum"))
+        if fd:
+            return fd
+        dc = (m1.group("duplind") > m2.group("duplind")) - (
+            m1.group("duplind") < m2.group("duplind"))
+        if dc:
+            return dc
+        return (m1.group("side") > m2.group("side")) - (
+            m1.group("side") < m2.group("side"))
+
+    cases = [
+        ("1a", "1b"), ("1b", "1a"), ("2a", "10a"), ("10a", "2a"),
+        ("3a", "3a"), ("3'a", "3a"), ("3a", "3'a"), ("3''b", "3'b"),
+        ("xa", "5b"), ("5b", "xa"), ("1a?", "1b"), ("bogus", "1a"),
+        ("12a(d3)", "12b"),
+    ]
+    df = spark.range(1)
+    for a, b in cases:
+        got = _one(df, comparepg_col(F.lit(a), F.lit(b)))
+        want = ref_comparepg(a, b)
+        sign = (want > 0) - (want < 0)
+        assert got == sign, (a, b, got, want)
