@@ -42,9 +42,11 @@ def build_canonical_map(
         .unionByName(cross_corpus_map.selectExpr("k_id as a", "t_id as b"))
         .unionByName(same_text_map.selectExpr("alias_id as a", "canonical_id as b"))
     )
-    n_edges = edges_raw.limit(driver_threshold + 1).count()
-    if n_edges <= driver_threshold:
-        return _driver_side_cc(edges_raw)
+    # one probe job: fetch threshold+1 rows; a full count would be a
+    # second driver round-trip for the common (tiny-dictionary) case
+    probe = edges_raw.limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        return _driver_side_cc_rows(edges_raw.sparkSession, probe)
 
     # CC runs on zero-padded ids so lexicographic min == numeric min
     edges = edges_raw.select(
@@ -66,12 +68,11 @@ def build_canonical_map(
     return with_comp.join(reps, "component", "inner").select("entity_id", "canon_id")
 
 
-def _driver_side_cc(edges_raw: DataFrame) -> DataFrame:
-    """Union-find on collected edges; same representative rule as the
-    distributed loop (numeric-aware min). One job instead of O(diameter)."""
+def _driver_side_cc_rows(spark, rows) -> DataFrame:
+    """Union-find on collected edge rows; same representative rule as
+    the distributed loop (numeric-aware min). Zero extra jobs."""
     from .vocab import id_sort_key
 
-    spark = edges_raw.sparkSession
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -81,7 +82,7 @@ def _driver_side_cc(edges_raw: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for row in edges_raw.collect():
+    for row in rows:
         ra, rb = find(row["a"]), find(row["b"])
         if ra != rb:
             parent[ra] = rb
@@ -89,11 +90,11 @@ def _driver_side_cc(edges_raw: DataFrame) -> DataFrame:
     comps: dict[str, list[str]] = {}
     for node in list(parent):
         comps.setdefault(find(node), []).append(node)
-    rows = []
+    out = []
     for members in comps.values():
         rep = min(members, key=id_sort_key)
-        rows.extend((m, rep) for m in members)
-    return spark.createDataFrame(rows, "entity_id string, canon_id string")
+        out.extend((m, rep) for m in members)
+    return spark.createDataFrame(out, "entity_id string, canon_id string")
 
 
 def apply_canonical(

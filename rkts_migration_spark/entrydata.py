@@ -86,7 +86,11 @@ def transcripts_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i in range(8)
     ]
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    # window partitions on the conv_id COLUMN (not the raw orderkey) so
+    # the downstream section window's hashpartitioning(conv_id) reuses
+    # this exchange instead of re-shuffling the synthesized table
+    li = li.withColumn("conv_id", F.format_string("C%08d", F.col("l_orderkey")))
+    w = Window.partitionBy("conv_id").orderBy("l_linenumber", "l_partkey", "l_suppkey")
     ti = (F.row_number().over(w) - 1).cast("int")
     pair = F.floor(ti / 2) % 3
     role = (
@@ -95,7 +99,7 @@ def transcripts_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tool")
     )
     return li.select(
-        F.format_string("C%08d", F.col("l_orderkey")).alias("conv_id"),
+        "conv_id",
         ti.alias("turn_idx"),
         role.alias("role"),
         F.concat_ws(" ", *words).alias("text"),
