@@ -596,6 +596,77 @@ def q_folio_map_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Embedding-cosine near-duplicate detection (dedup family scale path)
+# =====================================================================
+
+@register("q_embedding_neardup", f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS bv
+  FROM embeddings),
+sig AS (SELECT vec_id, bv, {_SQL_BUCKET} AS bucket FROM base),
+cand AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         list_sum(list_transform(range(1, len(a.bv) + 1),
+                  i -> a.bv[i] * b.bv[i])) AS dot,
+         list_sum(list_transform(a.bv, x -> x * x)) AS qn,
+         list_sum(list_transform(b.bv, x -> x * x)) AS bn
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT doc_a, doc_b
+FROM cand
+WHERE CAST(dot AS DOUBLE) / SQRT(CAST(qn AS DOUBLE) * CAST(bn AS DOUBLE)) >= 0.35
+""")
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup menu): LSH buckets bound
+    the candidate set (same integer-formula planes as q_ann_lsh), then
+    a cosine threshold keeps near-duplicates — the bucket equi-join is
+    the 100 TB shape (no O(n^2) cross join)."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x * 1000).cast("long")).alias("bv"),
+    )
+
+    def plane_dot(p: int, col: str = "bv"):
+        prod = F.transform(
+            col, lambda x, i: x * (((F.lit(p * 31) + i * 17) % 19) - 9)
+        )
+        return F.aggregate(prod, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    bucket = None
+    for p in range(_N_PLANES):
+        term = F.when(plane_dot(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    sig = base.withColumn("bucket", bucket)
+    a = sig.select(
+        F.col("vec_id").alias("doc_a"), F.col("bv").alias("av"), "bucket")
+    b = sig.select(
+        F.col("vec_id").alias("doc_b"), F.col("bv").alias("bv2"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.aggregate(
+                F.zip_with("av", "bv2", lambda x, y: x * y),
+                F.lit(0).cast("long"), lambda acc, x: acc + x,
+            ).alias("dot"),
+            F.aggregate(
+                F.transform("av", lambda x: x * x),
+                F.lit(0).cast("long"), lambda acc, x: acc + x,
+            ).alias("qn"),
+            F.aggregate(
+                F.transform("bv2", lambda x: x * x),
+                F.lit(0).cast("long"), lambda acc, x: acc + x,
+            ).alias("bn"),
+        )
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("qn").cast("double") * F.col("bn").cast("double"))
+    return cand.filter(cos >= 0.35).select("doc_a", "doc_b")
+
+
+# =====================================================================
 # Multimodal plumbing (binary payloads, mapInPandas) — rows-only
 # =====================================================================
 
