@@ -129,3 +129,155 @@ def q_kg_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the mapInPandas trie, which SQL can't express — the golden-
     oracle pytest gate (tests/test_pipeline.py) covers its semantics."""
     return build_triples_inmem(spark, _kg_tables(spark, sf_dir))
+
+
+# =====================================================================
+# Single-token-gazetteer KG families: with one-word surfaces,
+# leftmost-longest non-overlapping matching degenerates to word-level
+# equality, so the WHOLE extract -> link -> canonicalize -> materialize
+# chain is SQL-expressible. The dictionaries are deterministic fixture
+# constants, so the oracle embeds them as a VALUES dim generated at
+# import time from the same pure-Python logic the golden oracle uses.
+# =====================================================================
+
+def _single_token_dim() -> list[tuple[str, str, str, str, str]]:
+    """(surface, entity_iri, lang, canon_id, pad) per single-token
+    surface, winner = (max weight, min numeric id, min lang) — the
+    exact link.surface_winners tie-break."""
+    from . import oracle as O
+    from . import vocab as V2
+
+    fx = make_fixtures(seed=42, n_convs=1)
+    canon = O.build_canonical_map(fx)
+    abstract = O.build_abstract_lookup(fx, canon)
+    by_surface: dict[str, list[dict]] = {}
+    for g in fx.gazetteer:
+        s = V2.norm_surface(g["surface"])
+        if " " in s:
+            continue
+        by_surface.setdefault(s, []).append(g)
+    rows = []
+    for surf, cands in sorted(by_surface.items()):
+        best = sorted(
+            cands,
+            key=lambda r: (-r["weight"], V2.id_sort_key(r["entity_id"]), r["lang"]),
+        )[0]
+        c = canon.get(best["entity_id"], best["entity_id"])
+        iri = V2.entity_iri(c, abstract.get(c))
+        rows.append((surf, iri, best["lang"], c, V2.pad_id(c)))
+    return rows
+
+
+_DIM_ROWS = _single_token_dim()
+_DIM_SQL = "dim(w, iri, lang, canon, pad) AS (VALUES " + ", ".join(
+    f"('{w}', '{iri}', '{lang}', '{c}', '{p}')"
+    for w, iri, lang, c, p in _DIM_ROWS
+) + ")"
+
+_WORDS_SQL = f"""
+t AS ({_TR}),
+words AS (
+  SELECT conv_id, turn_idx,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w,
+         unnest(range(1, len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) + 1)) AS i
+  FROM t WHERE text NOT IN ('', '-')),
+m AS (
+  SELECT conv_id, turn_idx, i, dim.iri, dim.lang, dim.canon, dim.pad, dim.w,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY i) - 1 AS midx
+  FROM words JOIN dim ON words.w = dim.w)
+"""
+
+
+def _kg_linked_1tok(spark: SparkSession, sf_dir: str):
+    """Run the REAL pipeline stages over the single-token gazetteer."""
+    from pyspark.sql import functions as F
+
+    from .canonicalize import (
+        apply_canonical,
+        build_abstract_lookup,
+        build_canonical_map,
+    )
+    from .extract import extract_mentions
+    from .link import link_mentions
+    from .materialize import build_entity_iri_map
+
+    tables = _kg_tables(spark, sf_dir)
+    gaz1 = tables["gazetteer"].filter(~F.trim(F.col("surface")).contains(" "))
+    tr = tables["transcripts"]
+    mentions = extract_mentions(tr, gaz1)
+    cm = build_canonical_map(
+        tables["id_remap"], tables["cross_corpus_map"], tables["same_text_map"])
+    linked = link_mentions(mentions, gaz1)
+    linked = apply_canonical(linked, cm, "entity_id", "canon_id")
+    abstract = build_abstract_lookup(tables["abstract_map"], cm)
+    iri_map = build_entity_iri_map(gaz1, cm, abstract)
+    return linked, iri_map
+
+
+@register("q_kg_mention_triples", f"""
+WITH {_DIM_SQL},
+{_WORDS_SQL}
+SELECT DISTINCT printf('{V.CONV}%s/turn/%04d', conv_id, turn_idx) AS subj,
+       '{V.PRED_MENTIONS}' AS pred, iri AS obj
+FROM m
+""")
+def q_kg_mention_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mention family through the real extract/link/canonicalize ops,
+    SQL-checked end-to-end (single-token gazetteer)."""
+    from .materialize import mention_triples
+
+    linked, iri_map = _kg_linked_1tok(spark, sf_dir)
+    return mention_triples(linked, iri_map)
+
+
+@register("q_kg_label_triples", f"""
+WITH {_DIM_SQL},
+{_WORDS_SQL},
+winners AS (
+  SELECT iri, lang, w, conv_id, turn_idx, midx,
+         ROW_NUMBER() OVER (PARTITION BY canon, w
+                            ORDER BY conv_id, turn_idx, midx) AS rn
+  FROM m),
+flagged AS (
+  SELECT iri, lang, w, conv_id, turn_idx, midx,
+         ROW_NUMBER() OVER (PARTITION BY iri, lang
+                            ORDER BY conv_id, turn_idx, midx) AS rl
+  FROM winners WHERE rn = 1)
+SELECT iri AS subj,
+       CASE WHEN rl = 1 THEN '{V.PRED_PREF_LABEL}'
+            ELSE '{V.PRED_ALT_LABEL}' END AS pred,
+       '"' || w || '"@' || lang AS obj
+FROM flagged
+""")
+def q_kg_label_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prefLabel/altLabel family (first-wins per normalized label,
+    first-per-lang pref flag), SQL-checked (single-token gazetteer:
+    norm_label(w) == w, no '-' or spaces in surfaces)."""
+    from .materialize import label_triples
+
+    linked, iri_map = _kg_linked_1tok(spark, sf_dir)
+    return label_triples(linked, iri_map)
+
+
+@register("q_kg_top_entity", f"""
+WITH {_DIM_SQL},
+{_WORDS_SQL},
+cnt AS (
+  SELECT conv_id, canon, pad, MIN(iri) AS iri, COUNT(*) AS c
+  FROM m GROUP BY conv_id, canon, pad),
+top AS (
+  SELECT conv_id, iri,
+         ROW_NUMBER() OVER (PARTITION BY conv_id
+                            ORDER BY c DESC, pad, canon) AS rn
+  FROM cnt)
+SELECT '{V.CONV}' || conv_id AS subj, '{V.PRED_TOP_ENTITY}' AS pred,
+       iri AS obj
+FROM top WHERE rn = 1
+""")
+def q_kg_top_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topEntity family (salted two-phase count, max count with
+    numeric-min tie-break), SQL-checked (single-token gazetteer)."""
+    from .materialize import top_entity_triples
+
+    linked, iri_map = _kg_linked_1tok(spark, sf_dir)
+    return top_entity_triples(linked, iri_map)
