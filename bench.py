@@ -78,20 +78,27 @@ def main() -> int:
         timings[name] = round(sec, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "parallelism": int(cpus),
-                "kg_triples": kg_triples,
-                "kg_triples_per_sec": round(kg_triples / kg_sec, 1),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "parallelism": int(cpus),
+        "kg_triples": kg_triples,
+        "kg_triples_per_sec": round(kg_triples / kg_sec, 1),
+    }
+    # fold in the latest two-parallelism scaling evidence if measured
+    # (scripts/scaling_bench.py writes BENCH/scaling.json)
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            sc = json.load(f)
+        out["scaling_efficiency"] = sc.get("value")
+        out["scaling"] = {
+            "n_small": sc.get("n_small"), "n_big": sc.get("n_big")}
+    print(json.dumps(out))
     spark.stop()
     return 0
 

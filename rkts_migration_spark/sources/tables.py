@@ -68,6 +68,7 @@ def write_stage(
     path = stage_path(root, stage)
     stamped = df.withColumn("_part_id", F.spark_partition_id())
     tmp = path + f"._tmp_{uuid.uuid4().hex[:8]}"
+    t0 = time.time()
 
     if _has_iceberg(spark):
         # Production path: Iceberg table, atomic snapshot commit.
@@ -92,6 +93,13 @@ def write_stage(
         .agg(F.count(F.lit(1)).alias("rows"))
         .collect()
     ]
+    try:  # stage metrics: on-disk footprint (parquet fallback path)
+        n_bytes = sum(
+            os.path.getsize(os.path.join(dp, fn))
+            for dp, _, fns in os.walk(path) for fn in fns
+        )
+    except OSError:
+        n_bytes = None
     manifest = {
         "stage": stage,
         "run_id": run_id,
@@ -99,6 +107,8 @@ def write_stage(
         "rows": sum(p["rows"] for p in lineage),
         "n_partitions": len(lineage),
         "partitions": sorted(lineage, key=lambda p: p["partition_id"]),
+        "metrics": {"write_wall_sec": round(time.time() - t0, 3),
+                    "bytes": n_bytes},
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     with open(os.path.join(path, MANIFEST), "w") as f:

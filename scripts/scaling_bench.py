@@ -151,6 +151,8 @@ def main() -> int:
     print(json.dumps(summary))
 
     os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling.json", "w") as f:
+        json.dump(summary, f)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — measured throughput + scaling efficiency
 
