@@ -33,7 +33,7 @@ N_SMALL = int(os.environ.get("SCALING_N", "2"))
 N_BIG = 4 * N_SMALL
 # steady-state: measured runs per JVM after one warm-up; min wall wins
 # (throughput capability; GC/JIT noise only ever adds time)
-TRIALS = int(os.environ.get("SCALING_TRIALS", "3"))
+TRIALS = int(os.environ.get("SCALING_TRIALS", "5"))
 
 
 INPUT_COPIES = int(os.environ.get("SCALING_INPUT_COPIES", "8"))
