@@ -281,3 +281,51 @@ def q_kg_top_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     linked, iri_map = _kg_linked_1tok(spark, sf_dir)
     return top_entity_triples(linked, iri_map)
+
+
+def _props_dim_sql() -> str:
+    """(canon, prop, obj) VALUES for entity_props after self-ref drop
+    and ref canonicalization — generated by the oracle's pure-Python
+    logic (kernelxmltottl.php:40-42 self-ref parity)."""
+    from . import oracle as O
+
+    fx = make_fixtures(seed=42, n_convs=1)
+    canon = O.build_canonical_map(fx)
+    rows = []
+    for r in fx.entity_props:
+        if r["obj"] == r["entity_ref"]:
+            continue
+        c = canon.get(r["entity_ref"], r["entity_ref"])
+        rows.append((c, r["prop"], r["obj"]))
+    rows = sorted(set(rows))
+    return "props(canon, prop, obj) AS (VALUES " + ", ".join(
+        f"('{c}', '{p}', '{o}')" for c, p, o in rows) + ")"
+
+
+@register("q_kg_entity_props", f"""
+WITH {_DIM_SQL},
+{_props_dim_sql()},
+{_WORDS_SQL},
+mentioned AS (SELECT DISTINCT canon, iri FROM m)
+SELECT DISTINCT mentioned.iri AS subj,
+       CASE props.prop WHEN 'ab' THEN '{V.PRED_WORK_IS_ABOUT}'
+            ELSE '{V.PRED_WORK_GENRE}' END AS pred,
+       (CASE props.prop WHEN 'ab' THEN '{V.TOPIC}' ELSE '{V.GENRE}' END)
+         || props.obj AS obj
+FROM props JOIN mentioned ON props.canon = mentioned.canon
+""")
+def q_kg_entity_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """workIsAbout/workGenre family for mentioned canonical entities
+    (self-refs dropped, refs canonicalized, left_semi vs the mention
+    stream), SQL-checked (single-token gazetteer)."""
+    from pyspark.sql import functions as F
+
+    from .canonicalize import build_canonical_map
+    from .materialize import entity_prop_triples
+
+    tables = _kg_tables(spark, sf_dir)
+    linked, iri_map = _kg_linked_1tok(spark, sf_dir)
+    cm = build_canonical_map(
+        tables["id_remap"], tables["cross_corpus_map"], tables["same_text_map"])
+    mentioned = linked.select("canon_id").distinct()
+    return entity_prop_triples(tables["entity_props"], cm, iri_map, mentioned)
