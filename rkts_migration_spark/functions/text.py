@@ -147,26 +147,45 @@ def add_shad(s: pd.Series) -> pd.Series:
     return s.map(lambda x: _add_shad_one(x) if x is not None else None)
 
 
-def _guess_lang_one(s: str) -> str:
-    """Heuristic language guess (~/root/reference/migrate-bvm.py:27-53):
-    trailing '/' -> bo-x-ewts; IAST diacritics -> sa-x-iast; first-char
-    Unicode block -> bo / zh / ru; else en."""
+# Exact-parity constants from guess_lt (/root/reference/migrate-bvm.py:27-53):
+# IAST diacritic set and first-match-wins native ranges (bounds are
+# EXCLUSIVE in the reference; the duplicate 0x0900 zh-Hani entry never
+# fires because sa-Deva precedes it).
+_IAST_CHARS = "ṀṃṂāĀīĪūŪṛṚṝṜḷḶḹḸḥḤṅṄñÑṭṬḍḌṇṆśŚṣṢḻḺ"
+_NATIVE_RANGES = [
+    (0x0900, 0x097F, "sa-Deva"),
+    (0x0F00, 0x0FFF, "bo"),
+    (0x0400, 0x045F, "ru"),
+    (0x2E80, 0x2EFF, "zh-Hani"),
+    (0x3000, 0x303F, "zh-Hani"),
+    (0x3200, 0x9FFF, "zh-Hani"),
+    (0xF900, 0xFAFF, "zh-Hani"),
+    (0x20000, 0x2CEAF, "zh-Hani"),
+]
+
+
+def _guess_lang_one(s: str, default: str = "en") -> str:
+    """Heuristic language guess, exact parity with guess_lt
+    (/root/reference/migrate-bvm.py:27-53; tests/test_reference_parity.py
+    checks against the reference function itself): trailing '/' ->
+    bo-x-ewts; IAST diacritics -> sa-x-iast; first-char native range
+    (exclusive bounds, first match) -> sa-Deva/bo/ru/zh-Hani; else
+    default. Empty input returns default (the reference assumes
+    non-empty)."""
     if not s:
-        return "en"
-    if s.rstrip().endswith("/"):
+        return default
+    if s.endswith("/"):
         return "bo-x-ewts"
-    if any(ch in "āīūṃḥṅñṭḍṇśṣṛḷ" for ch in s.lower()):
+    if any(c in s for c in _IAST_CHARS):
         return "sa-x-iast"
-    o = ord(s.lstrip()[0]) if s.strip() else 0
-    if 0x0F00 <= o <= 0x0FFF:
-        return "bo"
-    if 0x4E00 <= o <= 0x9FFF:
-        return "zh"
-    if 0x0400 <= o <= 0x04FF:
-        return "ru"
-    return "en"
+    o = ord(s[0])
+    for lo, hi, lt in _NATIVE_RANGES:
+        if lo < o < hi:
+            return lt
+    return default
 
 
 @F.pandas_udf(T.StringType())
 def guess_lang(s: pd.Series) -> pd.Series:
     return s.map(lambda x: _guess_lang_one(x) if x is not None else "en")
+

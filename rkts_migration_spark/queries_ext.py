@@ -132,7 +132,7 @@ def q_add_shad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_guess_lang", """
 SELECT doc_id,
-       CASE WHEN rtrim(t) LIKE '%/' THEN 'bo-x-ewts' ELSE 'en' END AS lang_guess
+       CASE WHEN t LIKE '%/' THEN 'bo-x-ewts' ELSE 'en' END AS lang_guess
 FROM (SELECT doc_id,
              CASE WHEN doc_id % 3 = 0 THEN text || ' /' ELSE text END AS t
       FROM documents)
