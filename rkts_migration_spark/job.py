@@ -34,6 +34,10 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["ordered", "mentions", "linked"],
                     help="stop at a stage boundary (kill-and-resume testing)")
     ap.add_argument("--salt-buckets", type=int, default=16)
+    ap.add_argument("--nt-out", default=None,
+                    help="also write the graph as N-Triples text lines "
+                         "to this dir (the reference's global.nt sink, "
+                         "utils.php:833-840)")
     args = ap.parse_args(argv)
 
     # imports deferred so --help works without a JVM
@@ -59,6 +63,15 @@ def main(argv: list[str] | None = None) -> int:
         stop_after=args.stop_after,
     )
     n_out = res.triples.count()
+    if args.nt_out and not args.stop_after:
+        from pyspark.sql import functions as F
+
+        from rkts_migration_spark.functions.text import nt_line_col
+
+        (res.triples
+         .select(nt_line_col(
+             F.col("subj"), F.col("pred"), F.col("obj")).alias("value"))
+         .write.mode("overwrite").text(args.nt_out))
     wall = time.time() - t0
 
     summary = {

@@ -122,3 +122,20 @@ def test_regex_and_trie_strategies_agree(spark):
     a = sorted(map(tuple, extract_mentions_regex(turns, surfaces).collect()))
     b = sorted(map(tuple, extract_mentions_trie(turns, surfaces).collect()))
     assert a == b and len(a) > 0
+
+
+def test_build_canonical_map_distributed_branch_matches_driver(spark):
+    """Force the distributed CC branch (threshold=0) and check it
+    produces exactly the driver union-find result on the fixture
+    dictionaries (chains + 2-cycle)."""
+    from rkts_migration_spark.canonicalize import build_canonical_map
+    from rkts_migration_spark.fixtures import fixtures_to_spark, make_fixtures
+
+    fx = make_fixtures(seed=42, n_convs=1)
+    t = fixtures_to_spark(spark, fx)
+    args = (t["id_remap"], t["cross_corpus_map"], t["same_text_map"])
+    driver = {(r["entity_id"], r["canon_id"])
+              for r in build_canonical_map(*args).collect()}
+    dist = {(r["entity_id"], r["canon_id"])
+            for r in build_canonical_map(*args, driver_threshold=0).collect()}
+    assert driver == dist and len(driver) > 0
