@@ -52,9 +52,22 @@ def main() -> int:
     timings: dict[str, float] = {}
 
     # --- flagship: full KG pipeline over scale-proportional input -----
+    # The transcript table is materialized once as sharded parquet
+    # (untimed setup, mirroring scripts/scaling_bench.py): a real
+    # deployment reads an existing Iceberg table — charging the
+    # pipeline for synthetic-data generation would misstate it.
     tables = fixtures_to_spark(spark, make_fixtures(seed=42, n_convs=1))
-    tables["transcripts"] = transcripts_from_lineitem(spark, sf_dir)
-    kg_sec, kg_triples = _time_count(lambda: build_triples_inmem(spark, tables))
+    input_dir = f"/tmp/kg_bench_input_{sf}"
+    if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
+        (transcripts_from_lineitem(spark, sf_dir)
+         .repartition(int(cpus)).write.mode("overwrite").parquet(input_dir))
+
+    def kg_build():
+        t = dict(tables)
+        t["transcripts"] = spark.read.parquet(input_dir)
+        return build_triples_inmem(spark, t)
+
+    kg_sec, kg_triples = _time_count(kg_build)
     timings["kg_pipeline"] = round(kg_sec, 3)
 
     # --- operator headliners ------------------------------------------

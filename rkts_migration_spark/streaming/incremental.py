@@ -67,3 +67,37 @@ def stream_from_directory(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
+
+
+def late_tolerant_turn_counts(
+    transcript_stream: DataFrame,
+    watermark: str = "10 minutes",
+    session_gap: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked session-window aggregation over a turn stream:
+    per-conversation activity sessions with turn counts, tolerating
+    late/out-of-order turns up to the watermark. This is the
+    late-data pre-aggregation SURVEY.md §2.9 describes for buffering
+    conversations before the batch operators run on complete sessions
+    (Structured Streaming's session_window + withWatermark — state is
+    dropped once the watermark passes the session gap)."""
+    from pyspark.sql import functions as F
+
+    return (
+        transcript_stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", session_gap).alias("session"),
+            F.col("conv_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+        .select(
+            "conv_id",
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_turns", "first_turn", "last_turn",
+        )
+    )

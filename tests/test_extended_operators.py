@@ -224,3 +224,43 @@ def test_stream_matches_batch(spark, tmpdir_ckpt):
         sink, os.path.join(tmpdir_ckpt, "ckpt"))
     q.awaitTermination(120)
     assert got == batch_triples
+
+
+def test_late_tolerant_turn_counts_stream(spark, tmpdir_ckpt):
+    """Watermark + session_window over a file stream: out-of-order
+    turns within a session aggregate into one window; a gap larger
+    than session_gap splits sessions."""
+    import os
+
+    from rkts_migration_spark.fixtures import TRANSCRIPT_DDL
+    from rkts_migration_spark.streaming.incremental import (
+        late_tolerant_turn_counts,
+        stream_from_directory,
+    )
+
+    src = os.path.join(tmpdir_ckpt, "stream_src")
+    os.makedirs(src)
+    rows = [  # out-of-order arrivals inside one session + a late gap
+        ("C1", 2, "user", "c", None, "2026-01-01 10:05:00"),
+        ("C1", 0, "user", "a", None, "2026-01-01 10:00:00"),
+        ("C1", 1, "assistant", "b", None, "2026-01-01 10:02:00"),
+        ("C1", 3, "user", "d", None, "2026-01-01 12:00:00"),  # new session
+        ("C2", 0, "user", "x", None, "2026-01-01 10:00:00"),
+    ]
+    df = spark.createDataFrame(
+        [(c, i, r, t, tool, __import__("datetime").datetime.fromisoformat(ts))
+         for c, i, r, t, tool, ts in rows], TRANSCRIPT_DDL)
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = stream_from_directory(spark, src, TRANSCRIPT_DDL)
+    agg = late_tolerant_turn_counts(stream, "5 minutes", "30 minutes")
+    q = (agg.writeStream.format("memory").queryName("sessions")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {
+        (r["conv_id"], r["n_turns"], r["first_turn"], r["last_turn"])
+        for r in spark.sql("select * from sessions").collect()
+    }
+    assert ("C1", 3, 0, 2) in got   # one session absorbs 3 unordered turns
+    assert ("C1", 1, 3, 3) in got   # the 12:00 turn opens a new session
+    assert ("C2", 1, 0, 0) in got
