@@ -73,6 +73,42 @@ def minhash_signature(
     return words.groupBy(id_col).agg(*aggs)
 
 
+def word_shingles(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle) rows: distinct n-word shingles per document,
+    built JVM-side — tokens array once, then a transform over the
+    sliding positions joined with spaces; documents shorter than n
+    words contribute their whole text as one shingle."""
+    toks = F.split(F.col(text_col), " ")
+    shingles = F.when(
+        F.size(toks) < n, F.array(F.col(text_col))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return df.filter(F.length(text_col) > 0).select(
+        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("sh"))
+
+
+def minhash_signature_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 4, n: int = 3,
+) -> DataFrame:
+    """MinHash over n-word shingles (the shingle->minhash->band->bucket
+    chain): order-sensitive near-dup detection — word-permuted texts
+    that fool the bag-of-words signature produce different shingle
+    sets. Same shuffle shape as minhash_signature: (doc, shingle)
+    pairs, never document pairs."""
+    sh = word_shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
 def minhash_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 4, bands: int = 1,

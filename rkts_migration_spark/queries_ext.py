@@ -596,6 +596,36 @@ def q_folio_map_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Shingle-based MinHash (order-sensitive near-dup signatures)
+# =====================================================================
+
+@register("q_minhash_shingles", """
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+tok AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM d),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                  END) AS sh
+    FROM tok) u)
+SELECT doc_id,
+       MIN(md5(sh || '#0')) AS h0, MIN(md5(sh || '#1')) AS h1,
+       MIN(md5(sh || '#2')) AS h2, MIN(md5(sh || '#3')) AS h3
+FROM sh GROUP BY doc_id
+""")
+def q_minhash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash over 3-word shingles (shingle->minhash->band chain):
+    order-sensitive signatures — permuted texts that fool bag-of-words
+    minhash differ here. Shuffle carries (doc, shingle) pairs only."""
+    from .operators.dedup import minhash_signature_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_signature_shingles(d, "text", "doc_id", k=4, n=3)
+
+
+# =====================================================================
 # Embedding-cosine near-duplicate detection (dedup family scale path)
 # =====================================================================
 
