@@ -63,6 +63,14 @@ def main(argv: list[str] | None = None) -> int:
         stop_after=args.stop_after,
     )
     n_out = res.triples.count()
+    # input-order audit (report_error analog, kept as data): turn_idx
+    # must be 0..n-1 contiguous per conversation
+    from rkts_migration_spark.operators.ordering import assert_contiguous
+    from rkts_migration_spark.sources.tables import read_stage
+
+    n_violations = assert_contiguous(
+        read_stage(spark, args.checkpoint, "ordered")
+    ).count()
     if args.nt_out and not args.stop_after:
         from pyspark.sql import functions as F
 
@@ -78,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
         "run_id": res.run_id,
         "stopped_after": args.stop_after,
         "output_rows": n_out,
+        "turn_order_violations": n_violations,
         "wall_sec": round(wall, 3),
         "rows_per_sec": round(n_out / wall, 1) if wall > 0 else None,
         "stages_committed": {

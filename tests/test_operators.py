@@ -139,3 +139,23 @@ def test_build_canonical_map_distributed_branch_matches_driver(spark):
     dist = {(r["entity_id"], r["canon_id"])
             for r in build_canonical_map(*args, driver_threshold=0).collect()}
     assert driver == dist and len(driver) > 0
+
+
+def test_turn_ordinal_and_contiguity_audit(spark):
+    from rkts_migration_spark.operators.ordering import (
+        assert_contiguous,
+        with_turn_ordinal,
+    )
+
+    good = spark.createDataFrame(
+        [("C1", 0), ("C1", 1), ("C1", 2), ("C2", 0)],
+        "conv_id string, turn_idx int")
+    assert assert_contiguous(good).count() == 0
+    ords = {(r["conv_id"], r["turn_idx"]): r["turn_ord"]
+            for r in with_turn_ordinal(good).collect()}
+    assert ords[("C1", 2)] == 3 and ords[("C2", 0)] == 1
+
+    gappy = spark.createDataFrame(
+        [("C1", 0), ("C1", 2)], "conv_id string, turn_idx int")
+    bad = assert_contiguous(gappy).collect()
+    assert len(bad) == 1 and bad[0]["turn_idx"] == 2
