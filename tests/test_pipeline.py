@@ -71,3 +71,14 @@ def test_partitioning_invariance(spark, fx, oracle_triples, tmpdir_ckpt):
     got = _collect_triples(res.triples)
     p, r = precision_recall(got, oracle_triples)
     assert p == 1.0 and r == 1.0
+
+
+def test_pipeline_matches_oracle_second_seed(spark, tmpdir_ckpt):
+    """Guard against seed-overfitting: a different RNG seed and scale
+    must also match the golden oracle exactly."""
+    fx2 = make_fixtures(seed=7, n_convs=40)
+    tables = fixtures_to_spark(spark, fx2)
+    res = run_pipeline(spark, tables, tmpdir_ckpt, run_id="s7", resume=False)
+    got = _collect_triples(res.triples)
+    p, r = precision_recall(got, run_oracle(fx2))
+    assert p == 1.0 and r == 1.0
