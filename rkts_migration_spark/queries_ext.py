@@ -596,6 +596,38 @@ def q_folio_map_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# ROLLUP / grouping sets (beyond-parity aggregation coverage)
+# =====================================================================
+
+@register("q_rollup", """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP totals at (flag, status), (flag), () levels with
+    GROUPING() markers — Catalyst expands to one Expand + HashAggregate
+    (no repeated scans); decimal sums keep both engines exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status",
+                "sum_qty", "n")
+    )
+
+
+# =====================================================================
 # Shingle-based MinHash (order-sensitive near-dup signatures)
 # =====================================================================
 

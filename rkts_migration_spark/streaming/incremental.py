@@ -101,3 +101,33 @@ def late_tolerant_turn_counts(
             "n_turns", "first_turn", "last_turn",
         )
     )
+
+
+def stateful_turn_totals(transcript_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-conversation cumulative turn totals maintained across
+    micro-batches (the arbitrary-state API for operators the built-in
+    windows can't express). Emits one row per (conversation,
+    micro-batch) with the batch's turn count and the running total."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "conv_id string, batch_turns int, total_turns int"
+    state_schema = "total int"
+
+    def update(key, pdfs, state):
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        total = (state.get[0] if state.exists else 0) + n
+        state.update((total,))
+        yield pd.DataFrame(
+            {"conv_id": [key[0]], "batch_turns": [n], "total_turns": [total]})
+
+    return (
+        transcript_stream.groupBy("conv_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

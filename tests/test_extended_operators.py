@@ -264,3 +264,44 @@ def test_late_tolerant_turn_counts_stream(spark, tmpdir_ckpt):
     assert ("C1", 3, 0, 2) in got   # one session absorbs 3 unordered turns
     assert ("C1", 1, 3, 3) in got   # the 12:00 turn opens a new session
     assert ("C2", 1, 0, 0) in got
+
+
+def test_stateful_turn_totals_across_microbatches(spark, tmpdir_ckpt):
+    """applyInPandasWithState keeps per-conversation state across
+    micro-batches: two file drops processed as separate batches
+    (maxFilesPerTrigger=1) must show a cumulative total."""
+    import datetime
+    import os
+
+    from rkts_migration_spark.fixtures import TRANSCRIPT_DDL
+    from rkts_migration_spark.streaming.incremental import (
+        stateful_turn_totals,
+        stream_from_directory,
+    )
+
+    src = os.path.join(tmpdir_ckpt, "stateful_src")
+    os.makedirs(src)
+    ts = datetime.datetime(2026, 1, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(c, i, "user", "t", None, ts) for c, i in rows], TRANSCRIPT_DDL)
+
+    mk([("C1", 0), ("C1", 1), ("C2", 0)]).coalesce(1).write.parquet(
+        os.path.join(src, "b0"))
+    mk([("C1", 2), ("C2", 1)]).coalesce(1).write.parquet(
+        os.path.join(src, "b1"))
+
+    stream = stream_from_directory(
+        spark, src + "/*", TRANSCRIPT_DDL, max_files_per_trigger=1)
+    q = (stateful_turn_totals(stream)
+         .writeStream.format("memory").queryName("totals")
+         .outputMode("update")
+         .option("checkpointLocation", os.path.join(tmpdir_ckpt, "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {(r["conv_id"], r["batch_turns"], r["total_turns"])
+            for r in spark.sql("select * from totals").collect()}
+    # totals accumulate across the two micro-batches
+    assert ("C1", 1, 3) in rows or ("C1", 2, 3) in rows, rows
+    assert ("C2", 1, 2) in rows, rows

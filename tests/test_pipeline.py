@@ -82,3 +82,23 @@ def test_pipeline_matches_oracle_second_seed(spark, tmpdir_ckpt):
     got = _collect_triples(res.triples)
     p, r = precision_recall(got, run_oracle(fx2))
     assert p == 1.0 and r == 1.0
+
+
+def test_flagship_documents_path_matches_oracle(spark):
+    """The driver-contract flagship (documents.parquet adapted to the
+    transcript shape, full multi-token-gazetteer pipeline) is rows-only
+    in the SQL contract — gate it here against the golden oracle by
+    feeding the SAME adapted rows to both sides."""
+    from rkts_migration_spark.entrydata import transcripts_from_documents
+    from rkts_migration_spark.fixtures import fixtures_to_spark, make_fixtures
+    from rkts_migration_spark.pipeline import build_triples_inmem
+
+    fx = make_fixtures(seed=42, n_convs=1)  # dictionaries only
+    tr = transcripts_from_documents(spark, "/root/testdata/sf0.001")
+    rows = [r.asDict() for r in tr.collect()]
+    fx.transcripts = rows
+
+    tables = fixtures_to_spark(spark, fx)
+    got = _collect_triples(build_triples_inmem(spark, tables))
+    p, r = precision_recall(got, run_oracle(fx))
+    assert p == 1.0 and r == 1.0 and len(got) > 1000
