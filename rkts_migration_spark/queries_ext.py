@@ -596,6 +596,128 @@ def q_folio_map_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Distinct-count + profiling + shingle-Jaccard (training-data ops)
+# =====================================================================
+
+@register("q_count_distinct", """
+SELECT n_name,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting per group through a two-hop broadcast
+    dimension join (count_distinct expands to a two-phase aggregate —
+    partial distinct map-side, exact at scale unlike approx sketches)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register("q_profile", """
+SELECT 'text' AS col, COUNT(*) AS n,
+       SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS n_empty,
+       CAST(MIN(length(text)) AS INT) AS min_len,
+       CAST(MAX(length(text)) AS INT) AS max_len,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM documents
+UNION ALL
+SELECT 'lang', COUNT(*),
+       SUM(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END),
+       CAST(MIN(length(lang)) AS INT), CAST(MAX(length(lang)) AS INT),
+       CAST(SUM(length(lang)) AS BIGINT)
+FROM documents
+""")
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (nulls/empties, length stats) — the data-
+    quality pre-pass of a training pipeline, one scan per column
+    family via unioned aggregates."""
+    d = _t(spark, sf_dir, "documents")
+
+    def prof(col: str):
+        c = F.col(col)
+        return d.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(c.isNull() | (c == ""), 1).otherwise(0)).alias("n_empty"),
+            F.min(F.length(c)).cast("int").alias("min_len"),
+            F.max(F.length(c)).cast("int").alias("max_len"),
+            F.sum(F.length(c)).cast("long").alias("total_chars"),
+        )
+
+    return prof("text").unionByName(prof("lang"))
+
+
+@register("q_jaccard_shingles", """
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+tok AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM d),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) < 2 THEN [text]
+                  ELSE list_transform(range(1, len(toks)),
+                       i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+                  END) AS sh
+    FROM tok) u),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(ROUND(CAST(n_inter AS DECIMAL(18,6))
+            / CAST(sa.n_sh + sb.n_sh - n_inter AS DECIMAL(18,6)), 4)
+            AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter * 100 >= (sa.n_sh + sb.n_sh - n_inter) * 60
+""")
+def q_jaccard_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (2-word shingle) Jaccard >= 0.6 via the inverted-index
+    self-join — order-sensitive near-dup scoring over shingle sets,
+    same posting-list shuffle shape as the word-level variant."""
+    from .operators.dedup import word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sh = word_shingles(d, "text", "doc_id", n=2)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    union_sz = F.col("na") + F.col("nb") - F.col("n_inter")
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(F.col("n_inter") * 100 >= union_sz * 60)
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("n_inter").cast("decimal(18,6)")
+                    / union_sz.cast("decimal(18,6)"), 4)
+            .cast("double").alias("jaccard"),
+        )
+    )
+
+
+# =====================================================================
 # ROLLUP / grouping sets (beyond-parity aggregation coverage)
 # =====================================================================
 
