@@ -111,6 +111,13 @@ def main() -> int:
         out["scaling_efficiency"] = sc.get("value")
         out["scaling"] = {
             "n_small": sc.get("n_small"), "n_big": sc.get("n_big")}
+    cluster_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH", "cluster_scaling.json")
+    if os.path.exists(cluster_path):
+        with open(cluster_path) as f:
+            cs = json.load(f)
+        out["cluster_scaling_efficiency"] = cs.get("value")
     print(json.dumps(out))
     spark.stop()
     return 0
