@@ -310,6 +310,40 @@ def q_folio_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Part-tree materialized paths (J8/W4 subitem recursion analog)
+# =====================================================================
+
+@register("q_tree_paths", """
+WITH RECURSIVE t AS (
+  SELECT p_partkey + 1 AS id,
+         CASE WHEN p_partkey + 1 = 1 THEN NULL
+              ELSE (p_partkey + 1) // 2 END AS parent
+  FROM part),
+paths(id, path) AS (
+  SELECT id, 'n' || CAST(id AS VARCHAR) FROM t WHERE parent IS NULL
+  UNION ALL
+  SELECT t.id, paths.path || '.' || 'n' || CAST(t.id AS VARCHAR)
+  FROM t JOIN paths ON t.parent = paths.id)
+SELECT id, path FROM paths
+""")
+def q_tree_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized root->node label paths over a binary part tree
+    (node k's parent is k//2) via the level-synchronous iterative join
+    (operators/tree.py) — the distributed form of the reference's
+    recursive subitem walk, checked against DuckDB's recursive CTE."""
+    from .operators.tree import tree_paths
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey") + 1
+    nodes = p.select(
+        k.cast("long").alias("id"),
+        F.when(k == 1, None).otherwise(F.floor(k / 2)).cast("long").alias("parent"),
+        F.concat(F.lit("n"), k.cast("string")).alias("label"),
+    )
+    return tree_paths(nodes)
+
+
+# =====================================================================
 # §4.2 iterative connected components vs recursive-CTE oracle
 # =====================================================================
 

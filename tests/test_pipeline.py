@@ -102,3 +102,18 @@ def test_flagship_documents_path_matches_oracle(spark):
     got = _collect_triples(build_triples_inmem(spark, tables))
     p, r = precision_recall(got, run_oracle(fx))
     assert p == 1.0 and r == 1.0 and len(got) > 1000
+
+
+def test_pipeline_trie_path_matches_oracle(spark, fx, oracle_triples, monkeypatch):
+    """Force the mapInPandas Aho-Corasick path (the north-star scale
+    strategy) through the FULL pipeline: with the regex threshold at 0
+    every extraction goes through the Arrow trie, and the triple set
+    must still match the oracle exactly."""
+    from rkts_migration_spark import extract
+    from rkts_migration_spark.pipeline import build_triples_inmem
+
+    monkeypatch.setattr(extract, "REGEX_MAX_SURFACES", 0)
+    tables = fixtures_to_spark(spark, fx)
+    got = _collect_triples(build_triples_inmem(spark, tables))
+    p, r = precision_recall(got, oracle_triples)
+    assert p == 1.0 and r == 1.0
