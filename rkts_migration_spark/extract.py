@@ -129,16 +129,21 @@ class TokenTrie:
         return out
 
 
-_TRIE_CACHE: dict[int, TokenTrie] = {}
+# [surfaces_list, trie]: keyed by IDENTITY of the broadcast's value,
+# with a strong reference held so the object can't be garbage-collected
+# and its address recycled — an id()/address-keyed cache can silently
+# serve a STALE trie from a previous gazetteer after GC reuse (caught
+# by tests/test_pipeline.py::test_pipeline_trie_path_matches_oracle
+# when run after other broadcast-creating tests).
+_TRIE_CACHE: list = []
 
 
 def _get_trie(bc) -> TokenTrie:
-    key = id(bc)
-    trie = _TRIE_CACHE.get(key)
-    if trie is None:
-        trie = TokenTrie(bc.value)
-        _TRIE_CACHE.clear()  # one live gazetteer per worker
-        _TRIE_CACHE[key] = trie
+    v = bc.value  # worker-side Broadcast caches the loaded value
+    if _TRIE_CACHE and _TRIE_CACHE[0] is v:
+        return _TRIE_CACHE[1]
+    trie = TokenTrie(v)
+    _TRIE_CACHE[:] = [v, trie]  # one live gazetteer per worker
     return trie
 
 
