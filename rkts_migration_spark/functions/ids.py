@@ -67,13 +67,17 @@ def entity_iri_col(canonical_id: Column, abstract_local: Column) -> Column:
 
 
 def rdf_ci_to_url_col(c: Column) -> Column:
-    """F3 (rdf_ci_to_url, /root/reference/utils.php:45-56): pad the
-    LEADING digit run to 4 and uppercase the remainder ("7a"->"0007A",
-    "12345"->"12345", no leading digits -> "0000"+upper(id))."""
+    """F3 (rdf_ci_to_url, /root/reference/utils.php:45-56): intval the
+    LEADING digit run, %04d-pad it, uppercase the remainder
+    ("7a"->"0007A", "12345"->"12345", no leading digits ->
+    "0000"+upper(id)). The intval step strips leading zeros —
+    "00123" -> 123 -> "0123" (NOT "00123"); a digit run of all zeros
+    collapses to "0000". Parity with sprintf("%04d", intval(...))."""
     digits = F.regexp_extract(c, r"^([0-9]*)", 1)
     rest = F.substr(c, F.length(digits) + F.lit(1))
-    padded = F.when(F.length(digits) >= 4, digits).otherwise(
-        F.lpad(digits, 4, "0")
+    stripped = F.regexp_replace(digits, r"^0+", "")
+    padded = F.when(F.length(stripped) >= 4, stripped).otherwise(
+        F.lpad(stripped, 4, "0")
     )
     return F.concat(padded, F.upper(rest))
 

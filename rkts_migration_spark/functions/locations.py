@@ -37,6 +37,16 @@ _BAMPO = re.compile(
 )
 # chemdo catalogs use plain numeric page ranges: "417-421"
 _SIMPLE_SMALL = re.compile(r"^(?P<bpagenum>\d+)-(?P<epagenum>\d+)$")
+# standalone volume spec "('dul ba, ka)" — pattern_vol, utils.php:567
+_VOL = re.compile(r"^(?P<section>[^,]+)(?:, (?P<bvolname>.*))?$")
+# structured-loc page range "1b1?-302a5" / "12a3?-?" with trailing-?
+# stripping — pattern_pagerange_simple + utils.php:611-616
+_PAGERANGE = re.compile(
+    r"^(?P<bpageline>[0-9ab]+)\??-(?P<epageline>[0-9ab]+|\?)$")
+# "3.417?, - 4.421" volume.page ranges — pattern_loc_simple, utils.php:571
+_SIMPLE_RANGE = re.compile(
+    r"^(?P<bvolnum>\d+)\.(?P<bpagenum>\d+)\?, ?- ?(?P<evolnum>\d+)\.(?P<epagenum>\d+)$"
+)
 
 # EWTS volume-letter whitelist (utils.php:562); validation failures go
 # to the error channel, rows still parse (reference behavior: warn).
@@ -83,6 +93,56 @@ def _parse_one(s: str | None, grammar: str) -> dict:
         out["epagenum"] = int(m.group("epagenum"))
         out["valid"] = True
         return out
+    if grammar == "vol":  # pattern_vol (utils.php:567): "section, letter"
+        m = _VOL.match(s)
+        if not m:
+            out["error"] = f"invalid_loc: {s!r}"
+            return out
+        out["section"] = m.group("section")
+        out["bvolname"] = m.group("bvolname")
+        v = out["bvolname"]
+        if v and v not in ALLOWED_VOL_LETTERS:
+            out["error"] = f"invalid_volume_letter: {v!r}"
+        else:
+            out["valid"] = True
+        return out
+    if grammar == "pagerange":
+        # pattern_pagerange_simple + the trailing-? strip of
+        # utils.php:611-616: epageline may be a bare '?' which strips
+        # to empty (open-ended range -> no end fields)
+        m = _PAGERANGE.match(s)
+        if not m:
+            out["error"] = f"invalid_loc: {s!r}"
+            return out
+        errs = []
+        for side, key in (("b", "bpageline"), ("e", "epageline")):
+            pl = m.group(key) or ""
+            if pl.endswith("?"):
+                pl = pl[:-1]
+            if not pl:
+                continue
+            sm = _SMALL.match(pl)
+            if not sm:
+                errs.append(f"invalid_pageline: {pl!r}")
+                continue
+            out[f"{side}pagenum"] = int(sm.group("pagenum"))
+            out[f"{side}pageside"] = sm.group("ab")
+            if sm.group("linenum"):
+                out[f"{side}linenum"] = int(sm.group("linenum"))
+        out["valid"] = not errs
+        out["error"] = "; ".join(errs) if errs else None
+        return out
+    if grammar == "simple_range":  # pattern_loc_simple (utils.php:571)
+        m = _SIMPLE_RANGE.match(s)
+        if not m:
+            out["error"] = f"invalid_loc: {s!r}"
+            return out
+        out["bvolnum"] = int(m.group("bvolnum"))
+        out["bpagenum"] = int(m.group("bpagenum"))
+        out["evolnum"] = int(m.group("evolnum"))
+        out["epagenum"] = int(m.group("epagenum"))
+        out["valid"] = True
+        return out
     rx = _BAMPO if grammar == "bampo" else _LOC
     m = rx.match(s)
     if not m:
@@ -117,8 +177,11 @@ def _parse_one(s: str | None, grammar: str) -> dict:
 
 
 def make_parse_location_udf(grammar: str = "full"):
-    """grammar: 'full' (text loc), 'bampo' (chapter/bampo loc) or
-    'simple' (chemdo numeric). Returns a pandas UDF -> LOC_STRUCT."""
+    """grammar: 'full' (text loc), 'bampo' (chapter/bampo loc),
+    'simple' (chemdo numeric), 'vol' (pattern_vol volume spec),
+    'pagerange' (structured-loc page range with ?-strip) or
+    'simple_range' (volume.page range). Returns a pandas UDF ->
+    LOC_STRUCT."""
 
     @F.pandas_udf(LOC_STRUCT)
     def parse_location(s: pd.Series) -> pd.DataFrame:
@@ -126,6 +189,15 @@ def make_parse_location_udf(grammar: str = "full"):
         return pd.DataFrame(rows, columns=[f.name for f in LOC_STRUCT.fields])
 
     return parse_location
+
+
+@F.pandas_udf(LOC_STRUCT)
+def parse_location_any(grammar: pd.Series, s: pd.Series) -> pd.DataFrame:
+    """Two-arg variant: per-row grammar selection, for corpora mixing
+    full/bampo/simple/vol/pagerange/simple_range location kinds (the
+    reference picks the regex per file kind, utils.php:648-680)."""
+    rows = [_parse_one(x, g) for g, x in zip(grammar, s)]
+    return pd.DataFrame(rows, columns=[f.name for f in LOC_STRUCT.fields])
 
 
 def location_errors(df: DataFrame, loc_col: str = "loc") -> DataFrame:

@@ -133,6 +133,83 @@ def minhash_candidates(
     return pairs.distinct() if bands > 1 else pairs
 
 
+# Named parameter presets: "demo" keeps the oracle corpus cheap;
+# "production" is the scale configuration (k=128 hashes in 16 bands of
+# 8 -> candidate recall ~ standard near-dup detection practice; 5-word
+# shingles; 64-bit SimHash). Both run through the same operators — the
+# preset only changes constants, never the plan shape.
+PRESETS: dict[str, dict] = {
+    "demo": {"k": 4, "bands": 1, "shingle_n": 3, "simhash_bits": 4},
+    "production": {"k": 128, "bands": 16, "shingle_n": 5, "simhash_bits": 64},
+}
+
+
+def minhash_band_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 128, bands: int = 16, shingle_n: int = 5,
+    use_xxhash: bool = False,
+) -> DataFrame:
+    """(id, b0..b{bands-1}) band-bucket keys: the signature split into
+    ``bands`` groups of k/bands rows, each group collapsed to one
+    bucket hash. Docs sharing ANY bucket column value are candidates —
+    downstream joins group on one narrow column per band instead of
+    k signature columns.
+
+    use_xxhash=True swaps the md5 hash family for xxhash64 (JVM
+    intrinsic, no hex-string materialization — the fast path for
+    production runs); md5 is the engine-portable family the DuckDB
+    oracle can mirror bit-for-bit."""
+    if k % bands:
+        raise ValueError(f"bands={bands} must divide k={k}")
+    sh = word_shingles(df, text_col, id_col, shingle_n)
+    if use_xxhash:
+        aggs = [
+            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+            for i in range(k)
+        ]
+    else:
+        aggs = [
+            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"h{i}")
+            for i in range(k)
+        ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    rpb = k // bands
+    bucket_cols = [
+        F.md5(F.concat_ws("|", *[
+            F.col(f"h{i}").cast("string") for i in range(b * rpb, (b + 1) * rpb)
+        ])).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    return sig.select(id_col, *bucket_cols)
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash as two exact 32-bit halves (simhash_hi,
+    simhash_lo) — BIGINT-safe in every engine (a single signed 64-bit
+    column would overflow at bit 63). Bit j = majority vote over
+    tokens of sha256 hex digit j >= '8'; near-dups have small Hamming
+    distance over the packed 64 bits. Same single explode + groupBy
+    shuffle shape as the 4-bit demo simhash."""
+    words = df.filter(F.length(text_col) > 0).select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    hexd = F.sha2(F.col("w"), 256)
+
+    def half(offset: int):
+        expr = None
+        for i in range(32):
+            vote = F.sum(
+                F.when(F.substring(hexd, offset + i + 1, 1) >= "8", 1)
+                .otherwise(0))
+            term = (vote * 2 > F.count(F.lit(1))).cast("long") * (1 << (31 - i))
+            expr = term if expr is None else expr + term
+        return expr
+
+    return words.groupBy(id_col).agg(
+        half(0).alias("simhash_hi"), half(32).alias("simhash_lo"))
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 4
 ) -> DataFrame:
@@ -154,22 +231,35 @@ def simhash(
     return words.groupBy(id_col).agg(expr.alias(f"simhash{bits}"))
 
 
-def jaccard_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    threshold_pct: int = 80,
+def jaccard_pairs_from_postings(
+    postings: DataFrame, id_col: str = "doc_id", token_col: str = "w",
+    threshold_pct: int = 80, max_df: int | None = 1000,
 ) -> DataFrame:
-    """Word-set Jaccard >= threshold via inverted-index self-join:
-    shuffle carries (word, doc) postings, pair counts come from the
-    groupBy — O(sum of posting-list^2 per word), not O(n^2 docs). At
-    scale, run after minhash_candidates to bound posting lists."""
-    words = df.filter(F.length(text_col) > 0).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
-    )
-    sizes = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_words"))
-    a, b = words.alias("a"), words.alias("b")
+    """(id, token) postings -> (doc_a, doc_b, jaccard >= threshold) via
+    the inverted-index self-join: shuffle carries postings, pair counts
+    come from the groupBy — O(sum of posting-list^2 per token), never
+    O(n^2 docs).
+
+    ``max_df`` is the scale guard: tokens appearing in more than
+    ``max_df`` documents (stop words) are dropped BEFORE the self-join,
+    because a posting list of n docs yields ~n^2/2 pairs — one hot
+    token on a real corpus is quadratic blowup. Jaccard is then
+    computed consistently over the capped token space (document sizes
+    count only surviving tokens), i.e. stop-word-removed Jaccard —
+    self-consistent and engine-mirrorable. Pass ``max_df=None`` only
+    on pre-bounded inputs (e.g. postings restricted to LSH candidate
+    buckets)."""
+    if max_df is not None:
+        dfreq = Window.partitionBy(token_col)
+        postings = (
+            postings.withColumn("_df", F.count(F.lit(1)).over(dfreq))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    sizes = postings.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_words"))
+    a, b = postings.alias("a"), postings.alias("b")
     inter = (
-        a.join(b, (F.col("a.w") == F.col("b.w"))
+        a.join(b, (F.col(f"a.{token_col}") == F.col(f"b.{token_col}"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
                  F.col(f"b.{id_col}").alias("doc_b"))
@@ -188,3 +278,17 @@ def jaccard_pairs(
             .cast("double").alias("jaccard"),
         )
     )
+
+
+def jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    threshold_pct: int = 80, max_df: int | None = 1000,
+) -> DataFrame:
+    """Word-set Jaccard >= threshold over distinct-word postings; see
+    jaccard_pairs_from_postings for the max_df hot-token guard."""
+    words = df.filter(F.length(text_col) > 0).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
+    )
+    return jaccard_pairs_from_postings(
+        words, id_col=id_col, threshold_pct=threshold_pct, max_df=max_df)

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.locations import folio_side_to_pagenum, make_parse_location_udf
-from .functions.text import add_shad, guess_lang
+from .functions.text import add_shad
 from .queries import _t, register
 
 # =====================================================================
@@ -62,7 +62,9 @@ SELECT section, bvolname, evolname, bpagenum, bpageside, blinenum,
        evolname <> 'xx' AS valid,
        CASE WHEN evolname = 'xx'
             THEN 'invalid_volume_letter: ' || chr(39) || 'xx' || chr(39)
-            END AS error
+            END AS error,
+       CAST(2 * (bpagenum - 1) + 2
+            + CASE WHEN bpageside = 'b' THEN 1 ELSE 0 END AS INT) AS b_imgnum
 FROM f
 """)
 def q_location_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,7 +72,10 @@ def q_location_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     built from orders columns, then the pandas-UDF parser must recover
     every field; the 'xx' volume letter exercises the F10 whitelist
     error channel. The oracle emits the constructed fields directly —
-    parse must invert construction exactly."""
+    parse must invert construction exactly. b_imgnum chains F11
+    (utils.php:390-403 folio arithmetic, first_folio_page fixed at 2;
+    per-volume overrides broadcast-join in the real flow) onto the
+    parsed begin folio."""
     o = _t(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     loc_str = F.format_string(
@@ -88,7 +93,90 @@ def q_location_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k % 90 + k % 4 + 1).cast("int"),
     )
     parse = make_parse_location_udf("full")
-    return o.select(parse(loc_str).alias("loc")).select("loc.*")
+    return o.select(parse(loc_str).alias("loc")).select(
+        "loc.*",
+        folio_side_to_pagenum(
+            F.col("loc.bpagenum"), F.col("loc.bpageside"), F.lit(2)
+        ).alias("b_imgnum"),
+    )
+
+
+# =====================================================================
+# F9/F10 location-grammar tail: the reference's own REPL cases
+# (utils.php:748-752) + pattern_vol / pagerange ?-strip /
+# pattern_loc_simple corner cases, as a fixed literal corpus. The
+# oracle VALUES are HAND-written expectations (independent of the
+# parser), so this is a golden test the driver re-checks each round.
+# =====================================================================
+
+_LOC_CASES = [
+    (1, "full", "'dul ba, ka 1b1-nga 302a5 (vol. 1-4)"),
+    (2, "full", "gzugs, wam 245a4-247a7 (vol. 102)"),   # 'wam' not in whitelist
+    (3, "full", "rgyud, ja 39b7 (vol. 83)"),
+    (4, "bampo", "ga 107a7-116a5"),
+    (5, "bampo", "ga 107a7"),
+    (6, "full", "mdo, ka 12a3?-?"),                     # open end range
+    (7, "pagerange", "12a3?-?"),                        # '?' end -> stripped
+    (8, "pagerange", "1b-302a5"),                       # no line numbers
+    (9, "vol", "'dul ba, ka"),
+    (10, "vol", "chos mngon pa"),                       # section only
+    (11, "vol", "mdo sde, xx"),                         # F10 whitelist error
+    (12, "simple", "417-421"),
+    (13, "simple_range", "3.417?, - 4.421"),
+    (14, "simple_range", "3.417?,- 4.421"),             # optional space
+    (15, "full", "zzz"),                                # no match -> error row
+    (16, "bampo", "107b"),                              # bare folio, no letter
+]
+
+@register("q_location_cases", """
+SELECT * FROM (VALUES
+ (1, 'full', '''dul ba', 'ka', 'nga', 1, 'b', 1, 302, 'a', 5, 1, 4, true, NULL),
+ (2, 'full', 'gzugs', 'wam', NULL, 245, 'a', 4, 247, 'a', 7, 102, NULL, false,
+  'invalid_volume_letter: ''wam'''),
+ (3, 'full', 'rgyud', 'ja', NULL, 39, 'b', 7, NULL, NULL, NULL, 83, NULL,
+  true, NULL),
+ (4, 'bampo', NULL, 'ga', NULL, 107, 'a', 7, 116, 'a', 5, NULL, NULL,
+  true, NULL),
+ (5, 'bampo', NULL, 'ga', NULL, 107, 'a', 7, NULL, NULL, NULL, NULL, NULL,
+  true, NULL),
+ (6, 'full', 'mdo', 'ka', NULL, 12, 'a', 3, NULL, NULL, NULL, NULL, NULL,
+  true, NULL),
+ (7, 'pagerange', NULL, NULL, NULL, 12, 'a', 3, NULL, NULL, NULL, NULL, NULL,
+  true, NULL),
+ (8, 'pagerange', NULL, NULL, NULL, 1, 'b', NULL, 302, 'a', 5, NULL, NULL,
+  true, NULL),
+ (9, 'vol', '''dul ba', 'ka', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+  NULL, NULL, true, NULL),
+ (10, 'vol', 'chos mngon pa', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+  NULL, NULL, true, NULL),
+ (11, 'vol', 'mdo sde', 'xx', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+  NULL, NULL, false, 'invalid_volume_letter: ''xx'''),
+ (12, 'simple', NULL, NULL, NULL, 417, NULL, NULL, 421, NULL, NULL, NULL,
+  NULL, true, NULL),
+ (13, 'simple_range', NULL, NULL, NULL, 417, NULL, NULL, 421, NULL, NULL,
+  3, 4, true, NULL),
+ (14, 'simple_range', NULL, NULL, NULL, 417, NULL, NULL, 421, NULL, NULL,
+  3, 4, true, NULL),
+ (15, 'full', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+  NULL, false, 'invalid_loc: ''zzz'''),
+ (16, 'bampo', NULL, NULL, NULL, 107, 'b', NULL, NULL, NULL, NULL, NULL,
+  NULL, true, NULL)
+) t(case_id, grammar, section, bvolname, evolname, bpagenum, bpageside,
+    blinenum, epagenum, epageside, elinenum, bvolnum, evolnum, valid, error)
+""")
+def q_location_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grammar-tail golden corpus: every reference location grammar
+    (full / bampo / simple / pattern_vol / pagerange-with-?-strip /
+    pattern_loc_simple) over the reference's own embedded REPL cases
+    plus the corner cases of utils.php:611-616,691-723. Expectations
+    in the oracle are hand-written VALUES, independent of the parser."""
+    from .functions.locations import parse_location_any
+
+    df = spark.createDataFrame(_LOC_CASES, "case_id int, grammar string, s string")
+    return df.select(
+        "case_id", "grammar",
+        parse_location_any(F.col("grammar"), F.col("s")).alias("loc"),
+    ).select("case_id", "grammar", "loc.*")
 
 
 # =====================================================================
@@ -127,55 +215,6 @@ def q_add_shad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# F15 guess_lang: trailing-shad heuristic, pandas UDF vs SQL
-# =====================================================================
-
-@register("q_guess_lang", """
-SELECT doc_id,
-       CASE WHEN t LIKE '%/' THEN 'bo-x-ewts' ELSE 'en' END AS lang_guess
-FROM (SELECT doc_id,
-             CASE WHEN doc_id % 3 = 0 THEN text || ' /' ELSE text END AS t
-      FROM documents)
-""")
-def q_guess_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F15 (migrate-bvm.py:27-53 analog): every third document gets an
-    EWTS trailing shad appended; the guesser must flag exactly those.
-    (Unicode-block branches are covered by unit tests; the driver
-    corpus is ASCII.)"""
-    d = _t(spark, sf_dir, "documents")
-    t = F.when(F.col("doc_id") % 3 == 0, F.concat("text", F.lit(" /"))).otherwise(
-        F.col("text")
-    )
-    return d.select("doc_id", guess_lang(t).alias("lang_guess"))
-
-
-# =====================================================================
-# F11 folio arithmetic (utils.php:390-403)
-# =====================================================================
-
-@register("q_folio_pagenum", """
-SELECT l_orderkey, l_linenumber, folio, side,
-       CAST(2 * (folio - 1) + 2 + CASE WHEN side = 'b' THEN 1 ELSE 0 END
-            AS INT) AS pagenum
-FROM (SELECT l_orderkey, l_linenumber,
-             CAST(l_orderkey % 50 + 1 AS INT) AS folio,
-             CASE l_linenumber % 2 WHEN 0 THEN 'a' ELSE 'b' END AS side
-      FROM lineitem)
-""")
-def q_folio_pagenum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F11: folio+side -> image number, pure arithmetic column expr
-    (first_folio_page fixed at 2; per-volume overrides broadcast-join
-    in the real flow)."""
-    li = _t(spark, sf_dir, "lineitem")
-    folio = (F.col("l_orderkey") % 50 + 1).cast("int")
-    side = F.when(F.col("l_linenumber") % 2 == 0, "a").otherwise("b")
-    return li.select(
-        "l_orderkey", "l_linenumber", folio.alias("folio"), side.alias("side"),
-        folio_side_to_pagenum(folio, side, F.lit(2)).alias("pagenum"),
-    )
-
-
-# =====================================================================
 # F3/F4/F12/F18 reference string functions, one query
 # =====================================================================
 
@@ -185,7 +224,8 @@ WITH src AS (
          'EIDD' || CAST(p_partkey AS VARCHAR) ||
            CASE p_partkey % 5 WHEN 0 THEN '' WHEN 1 THEN '(1)'
                 WHEN 2 THEN '.2,3' WHEN 3 THEN '?x' ELSE ')' END AS ci_raw,
-         CAST(p_partkey % 700 AS VARCHAR) ||
+         CASE p_partkey % 5 WHEN 0 THEN '00' WHEN 2 THEN '0' ELSE '' END ||
+           CAST(p_partkey % 700 AS VARCHAR) ||
            CASE p_partkey % 3 WHEN 0 THEN '' WHEN 1 THEN 'a' ELSE 'bc' END
            AS ci_url_in,
          CASE WHEN p_partkey % 97 = 0 THEN 'MW1BL6'
@@ -195,9 +235,12 @@ WITH src AS (
   FROM part)
 SELECT k,
        translate(substr(ci_raw, 4), '(.,?)', '---_') AS ci_rdf,
-       (CASE WHEN length(regexp_extract(ci_url_in, '^([0-9]*)', 1)) >= 4
-             THEN regexp_extract(ci_url_in, '^([0-9]*)', 1)
-             ELSE lpad(regexp_extract(ci_url_in, '^([0-9]*)', 1), 4, '0') END)
+       (CASE WHEN length(regexp_replace(regexp_extract(ci_url_in, '^([0-9]*)', 1),
+                                        '^0+', '')) >= 4
+             THEN regexp_replace(regexp_extract(ci_url_in, '^([0-9]*)', 1),
+                                 '^0+', '')
+             ELSE lpad(regexp_replace(regexp_extract(ci_url_in, '^([0-9]*)', 1),
+                                      '^0+', ''), 4, '0') END)
          || upper(substr(ci_url_in,
                          length(regexp_extract(ci_url_in, '^([0-9]*)', 1)) + 1))
          AS ci_url,
@@ -221,6 +264,7 @@ def q_ref_strfns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(k % 5 == 2, ".2,3").when(k % 5 == 3, "?x").otherwise(")"),
     )
     ci_url_in = F.concat(
+        F.when(k % 5 == 0, "00").when(k % 5 == 2, "0").otherwise(""),
         (k % 700).cast("string"),
         F.when(k % 3 == 0, "").when(k % 3 == 1, "a").otherwise("bc"),
     )
@@ -662,22 +706,31 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_profile", """
 SELECT 'text' AS col, COUNT(*) AS n,
-       SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS n_empty,
+       CAST(COALESCE(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END),
+                     0) AS BIGINT) AS n_empty,
        CAST(MIN(length(text)) AS INT) AS min_len,
        CAST(MAX(length(text)) AS INT) AS max_len,
-       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+       CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS total_chars
 FROM documents
 UNION ALL
 SELECT 'lang', COUNT(*),
-       SUM(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END),
+       CAST(COALESCE(SUM(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END),
+                     0) AS BIGINT),
        CAST(MIN(length(lang)) AS INT), CAST(MAX(length(lang)) AS INT),
-       CAST(SUM(length(lang)) AS BIGINT)
+       CAST(COALESCE(SUM(length(lang)), 0) AS BIGINT)
 FROM documents
 """)
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (nulls/empties, length stats) — the data-
     quality pre-pass of a training pipeline, one scan per column
-    family via unioned aggregates."""
+    family via unioned aggregates.
+
+    Cross-engine gotcha (the round-1 red cell): DuckDB's SUM over
+    integers yields HUGEINT (int128), which survives the local tuple
+    checker but becomes float64/object through the driver's pandas
+    conversion and hash-mismatches Spark's int64. Every aggregate is
+    therefore pinned to a concrete BIGINT/INT on BOTH engines, and
+    nullable sums are COALESCEd to 0 on both sides."""
     d = _t(spark, sf_dir, "documents")
 
     def prof(col: str):
@@ -685,70 +738,16 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         return d.agg(
             F.lit(col).alias("col"),
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(c.isNull() | (c == ""), 1).otherwise(0)).alias("n_empty"),
+            F.coalesce(
+                F.sum(F.when(c.isNull() | (c == ""), 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("n_empty"),
             F.min(F.length(c)).cast("int").alias("min_len"),
             F.max(F.length(c)).cast("int").alias("max_len"),
-            F.sum(F.length(c)).cast("long").alias("total_chars"),
+            F.coalesce(F.sum(F.length(c)), F.lit(0))
+            .cast("long").alias("total_chars"),
         )
 
     return prof("text").unionByName(prof("lang"))
-
-
-@register("q_jaccard_shingles", """
-WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
-tok AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM d),
-sh AS (
-  SELECT DISTINCT doc_id, sh FROM (
-    SELECT doc_id,
-           unnest(CASE WHEN len(toks) < 2 THEN [text]
-                  ELSE list_transform(range(1, len(toks)),
-                       i -> array_to_string(list_slice(toks, i, i + 1), ' '))
-                  END) AS sh
-    FROM tok) u),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
-SELECT doc_a, doc_b,
-       CAST(ROUND(CAST(n_inter AS DECIMAL(18,6))
-            / CAST(sa.n_sh + sb.n_sh - n_inter AS DECIMAL(18,6)), 4)
-            AS DOUBLE) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE n_inter * 100 >= (sa.n_sh + sb.n_sh - n_inter) * 60
-""")
-def q_jaccard_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram (2-word shingle) Jaccard >= 0.6 via the inverted-index
-    self-join — order-sensitive near-dup scoring over shingle sets,
-    same posting-list shuffle shape as the word-level variant."""
-    from .operators.dedup import word_shingles
-
-    d = _t(spark, sf_dir, "documents")
-    sh = word_shingles(d, "text", "doc_id", n=2)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    union_sz = F.col("na") + F.col("nb") - F.col("n_inter")
-    return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .filter(F.col("n_inter") * 100 >= union_sz * 60)
-        .select(
-            "doc_a", "doc_b",
-            F.round(F.col("n_inter").cast("decimal(18,6)")
-                    / union_sz.cast("decimal(18,6)"), 4)
-            .cast("double").alias("jaccard"),
-        )
-    )
 
 
 # =====================================================================
@@ -784,33 +783,83 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# Shingle-based MinHash (order-sensitive near-dup signatures)
+# Production-preset dedup signatures: MinHash k=128 in 16 bands of 8
+# over 5-word shingles + 64-bit SimHash (PRESETS["production"]) — the
+# at-scale constants, oracle-pinned so the parameterization is proven,
+# not just parameterizable. (The k=4 demo constants stay in
+# q_minhash_signature / q_simhash.)
 # =====================================================================
 
-@register("q_minhash_shingles", """
+_PROD_K, _PROD_BANDS, _PROD_N = 128, 16, 5
+_PROD_RPB = _PROD_K // _PROD_BANDS
+
+
+def _dedup_prod_sql() -> str:
+    hs = ",\n         ".join(
+        f"MIN(md5(sh || '#{i}')) AS h{i}" for i in range(_PROD_K))
+    bcols = ",\n       ".join(
+        "md5(" + " || '|' || ".join(
+            f"h{i}" for i in range(b * _PROD_RPB, (b + 1) * _PROD_RPB))
+        + f") AS b{b}"
+        for b in range(_PROD_BANDS))
+
+    def sim_half(offset: int) -> str:
+        terms = [
+            f"CAST(SUM(CASE WHEN SUBSTR(sha256(w), {offset + i + 1}, 1) >= '8'"
+            f" THEN 1 ELSE 0 END) * 2 > COUNT(*) AS BIGINT) * {1 << (31 - i)}"
+            for i in range(32)
+        ]
+        return " + ".join(terms)
+
+    return f"""
 WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
 tok AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM d),
 sh AS (
   SELECT DISTINCT doc_id, sh FROM (
     SELECT doc_id,
-           unnest(CASE WHEN len(toks) < 3 THEN [text]
-                  ELSE list_transform(range(1, len(toks) - 1),
-                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+           unnest(CASE WHEN len(toks) < {_PROD_N} THEN [text]
+                  ELSE list_transform(range(1, len(toks) - {_PROD_N - 2}),
+                       i -> array_to_string(list_slice(toks, i, i + {_PROD_N - 1}), ' '))
                   END) AS sh
-    FROM tok) u)
-SELECT doc_id,
-       MIN(md5(sh || '#0')) AS h0, MIN(md5(sh || '#1')) AS h1,
-       MIN(md5(sh || '#2')) AS h2, MIN(md5(sh || '#3')) AS h3
-FROM sh GROUP BY doc_id
-""")
-def q_minhash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash over 3-word shingles (shingle->minhash->band chain):
-    order-sensitive signatures — permuted texts that fool bag-of-words
-    minhash differ here. Shuffle carries (doc, shingle) pairs only."""
-    from .operators.dedup import minhash_signature_shingles
+    FROM tok) u),
+sig AS (
+  SELECT doc_id,
+         {hs}
+  FROM sh GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id,
+       {bcols}
+  FROM sig),
+words AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM d),
+sim AS (
+  SELECT doc_id,
+         {sim_half(0)} AS simhash_hi,
+         {sim_half(32)} AS simhash_lo
+  FROM words GROUP BY doc_id)
+SELECT buckets.*, sim.simhash_hi, sim.simhash_lo
+FROM buckets JOIN sim USING (doc_id)
+"""
 
+
+@register("q_dedup_prod", _dedup_prod_sql())
+def q_dedup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production dedup constants end-to-end: 16 band-bucket keys from
+    a k=128 MinHash over 5-word shingles (operators/dedup.
+    minhash_band_buckets — band joins group on ONE narrow column each)
+    + the 64-bit SimHash packed as two exact 32-bit halves
+    (simhash64). Engine-mirrored bit-for-bit via the md5/sha256 hash
+    families; the xxhash64 fast path is pytest-gated (same plan, JVM
+    intrinsic hashes)."""
+    from .operators.dedup import PRESETS, minhash_band_buckets, simhash64
+
+    p = PRESETS["production"]
     d = _t(spark, sf_dir, "documents")
-    return minhash_signature_shingles(d, "text", "doc_id", k=4, n=3)
+    buckets = minhash_band_buckets(
+        d, "text", "doc_id",
+        k=p["k"], bands=p["bands"], shingle_n=p["shingle_n"])
+    sim = simhash64(d, "text", "doc_id")
+    return buckets.join(sim, "doc_id")
 
 
 # =====================================================================
@@ -888,14 +937,32 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multimodal plumbing (binary payloads, mapInPandas) — rows-only
 # =====================================================================
 
-@register("q_media_features", None)  # binary mapInPandas => rows-only
+@register("q_media_features", """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CAST(octet_length(encode(COALESCE(text, ''))) AS INT) AS n_bytes,
+       substr(sha256(COALESCE(text, '')), 1, 16) AS sha
+FROM documents
+""")
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque-binary media -> per-item (n_bytes, sha, feature) via the
-    Arrow-batched decode stub (operators/multimodal.py). The decode is
-    a deterministic fake (no codec libs in this container); schema,
-    batching and partitioning are the real scale plumbing."""
-    from .operators.multimodal import extract_media_features, synthetic_media
+    """Opaque-binary media -> per-item features via the Arrow-batched
+    mapInPandas path (operators/multimodal.py). Payloads are the
+    documents' UTF-8 bytes so the SQL-expressible columns (byte count,
+    sha256 prefix) have a genuine DuckDB oracle — DuckDB's sha256 over
+    VARCHAR hashes the same UTF-8 bytes hashlib sees. The `feature`
+    vector (codec stub / optional Pillow decode) stays rows-only and
+    is gated by pytest instead (tests/test_extended_operators.py)."""
+    from .operators.multimodal import MEDIA_SCHEMA, extract_media_features
 
-    media = synthetic_media(spark, 64)
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video").alias("kind"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
+        F.lit(None).cast(MEDIA_SCHEMA["meta"].dataType).alias("meta"),
+    )
     feats = extract_media_features(media, dim=8)
     return feats.select("media_id", "kind", "n_bytes", "sha")

@@ -187,3 +187,63 @@ def test_comparepg_matches_reference(spark):
         want = ref_comparepg(a, b)
         sign = (want > 0) - (want < 0)
         assert got == sign, (a, b, got, want)
+
+
+def test_rdf_ci_to_url_leading_zeros(spark):
+    # parity with sprintf("%04d", intval(...)) in rdf_ci_to_url
+    # (/root/reference/utils.php:45-56): intval STRIPS leading zeros
+    # before the %04d pad.
+    from rkts_migration_spark.functions.ids import rdf_ci_to_url_col
+
+    cases = {
+        "00123": "0123",     # intval-strip then pad (NOT '00123')
+        "0012a": "0012A",
+        "000": "0000",
+        "0": "0000",
+        "12345": "12345",
+        "7a": "0007A",
+        "abc": "0000ABC",    # no leading digits -> %04d of 0
+        "00012345": "12345",
+    }
+    df = spark.createDataFrame([(c,) for c in cases], "raw string")
+    got = {r["raw"]: r["out"] for r in
+           df.select("raw", rdf_ci_to_url_col(F.col("raw")).alias("out")).collect()}
+    assert got == cases
+
+
+def test_location_grammar_tail():
+    # the reference's embedded REPL cases (utils.php:748-752) plus the
+    # ?-strip / pattern_vol / pattern_loc_simple corners, against the
+    # pure-Python parser the pandas UDF wraps.
+    from rkts_migration_spark.functions.locations import _parse_one
+
+    r = _parse_one("'dul ba, ka 1b1-nga 302a5 (vol. 1-4)", "full")
+    assert (r["section"], r["bvolname"], r["evolname"]) == ("'dul ba", "ka", "nga")
+    assert (r["bpagenum"], r["bpageside"], r["blinenum"]) == (1, "b", 1)
+    assert (r["epagenum"], r["epageside"], r["elinenum"]) == (302, "a", 5)
+    assert (r["bvolnum"], r["evolnum"], r["valid"]) == (1, 4, True)
+
+    # 'wam' is not whitelisted (waM is) -> warn channel, fields parsed
+    r = _parse_one("gzugs, wam 245a4-247a7 (vol. 102)", "full")
+    assert r["valid"] is False and "wam" in r["error"]
+    assert (r["bpagenum"], r["epagenum"], r["bvolnum"]) == (245, 247, 102)
+
+    r = _parse_one("ga 107a7-116a5", "bampo")
+    assert (r["bvolname"], r["bpagenum"], r["epagenum"]) == ("ga", 107, 116)
+
+    # pattern_vol (utils.php:567)
+    r = _parse_one("'dul ba, ka", "vol")
+    assert (r["section"], r["bvolname"], r["valid"]) == ("'dul ba", "ka", True)
+    r = _parse_one("chos mngon pa", "vol")
+    assert (r["section"], r["bvolname"], r["valid"]) == ("chos mngon pa", None, True)
+
+    # pagerange ?-strip (utils.php:611-616): '?' end -> open range
+    r = _parse_one("12a3?-?", "pagerange")
+    assert (r["bpagenum"], r["bpageside"], r["blinenum"]) == (12, "a", 3)
+    assert r["epagenum"] is None and r["valid"] is True
+
+    # pattern_loc_simple (utils.php:571), optional space after comma
+    for s in ("3.417?, - 4.421", "3.417?,- 4.421"):
+        r = _parse_one(s, "simple_range")
+        assert (r["bvolnum"], r["bpagenum"], r["evolnum"], r["epagenum"]) == \
+            (3, 417, 4, 421)

@@ -159,3 +159,58 @@ def test_turn_ordinal_and_contiguity_audit(spark):
         [("C1", 0), ("C1", 2)], "conv_id string, turn_idx int")
     bad = assert_contiguous(gappy).collect()
     assert len(bad) == 1 and bad[0]["turn_idx"] == 2
+
+
+def test_jaccard_max_df_caps_hot_tokens(spark):
+    # 6 docs all sharing the stop word "the"; only docs 1/2 share rare
+    # content. Uncapped, "the" alone links every doc pair; with
+    # max_df=3 the stop word is dropped from the postings and only the
+    # genuinely-similar pair survives.
+    from rkts_migration_spark.operators.dedup import jaccard_pairs
+
+    rows = [(i, "the unique%d token%d" % (i, i)) for i in range(3, 7)]
+    rows += [(1, "the alpha beta gamma"), (2, "the alpha beta gamma")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = jaccard_pairs(df, threshold_pct=10, max_df=3).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(1, 2)}
+    # capped token space: {alpha, beta, gamma} fully shared -> 1.0
+    assert capped[0]["jaccard"] == 1.0
+
+    uncapped = jaccard_pairs(df, threshold_pct=10, max_df=None).collect()
+    assert len(uncapped) == 15  # every pair linked through "the"
+
+
+def test_minhash_band_buckets_presets(spark):
+    # identical docs share every band bucket; a perturbed doc agrees on
+    # none-or-few; md5 and xxhash paths have identical bucketing shape.
+    from rkts_migration_spark.operators.dedup import PRESETS, minhash_band_buckets
+
+    p = PRESETS["production"]
+    assert (p["k"], p["bands"], p["shingle_n"]) == (128, 16, 5)
+    text = " ".join("w%d" % i for i in range(30))
+    other = " ".join("x%d" % i for i in range(30))
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, other)], "doc_id long, text string")
+    for use_xx in (False, True):
+        out = {r["doc_id"]: r for r in minhash_band_buckets(
+            df, k=16, bands=4, shingle_n=3, use_xxhash=use_xx).collect()}
+        bands = [f"b{i}" for i in range(4)]
+        assert all(out[1][b] == out[2][b] for b in bands)
+        assert all(out[1][b] != out[3][b] for b in bands)
+
+
+def test_simhash64_halves_exact(spark):
+    # single-token doc: every bit equals the token's sha256 hex digit
+    # >= '8' test, so the packed halves are computable directly.
+    import hashlib
+
+    from rkts_migration_spark.operators.dedup import simhash64
+
+    word = "hello"
+    hx = hashlib.sha256(word.encode()).hexdigest()
+    expect_hi = sum((1 << (31 - i)) for i in range(32) if hx[i] >= "8")
+    expect_lo = sum((1 << (31 - i)) for i in range(32) if hx[32 + i] >= "8")
+    df = spark.createDataFrame([(1, word)], "doc_id long, text string")
+    row = simhash64(df).collect()[0]
+    assert (row["simhash_hi"], row["simhash_lo"]) == (expect_hi, expect_lo)
