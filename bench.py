@@ -57,7 +57,16 @@ def main() -> int:
     # deployment reads an existing Iceberg table — charging the
     # pipeline for synthetic-data generation would misstate it.
     tables = fixtures_to_spark(spark, make_fixtures(seed=42, n_convs=1))
-    input_dir = f"/tmp/kg_bench_input_{sf}"
+    # cache key includes a hash of the generator's source so editing
+    # transcripts_from_lineitem invalidates pre-existing caches (a
+    # bare sf-keyed dir would silently serve stale, differently-
+    # ordered input after a generator change)
+    import hashlib
+    import inspect
+
+    gen_token = hashlib.md5(
+        inspect.getsource(transcripts_from_lineitem).encode()).hexdigest()[:8]
+    input_dir = f"/tmp/kg_bench_input_{sf}_{gen_token}"
     if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
         (transcripts_from_lineitem(spark, sf_dir)
          .repartition(int(cpus)).write.mode("overwrite").parquet(input_dir))

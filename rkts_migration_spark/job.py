@@ -63,24 +63,32 @@ def main(argv: list[str] | None = None) -> int:
         stop_after=args.stop_after,
     )
     n_out = res.triples.count()
+    # pipeline throughput window closes HERE: the audit count and the
+    # optional NT text sink below are reported separately so wall_sec /
+    # rows_per_sec stay comparable across runs and flag settings
+    wall = time.time() - t0
     # input-order audit (report_error analog, kept as data): turn_idx
     # must be 0..n-1 contiguous per conversation
     from rkts_migration_spark.operators.ordering import assert_contiguous
     from rkts_migration_spark.sources.tables import read_stage
 
+    t_audit = time.time()
     n_violations = assert_contiguous(
         read_stage(spark, args.checkpoint, "ordered")
     ).count()
+    audit_sec = time.time() - t_audit
+    nt_sec = None
     if args.nt_out and not args.stop_after:
         from pyspark.sql import functions as F
 
         from rkts_migration_spark.functions.text import nt_line_col
 
+        t_nt = time.time()
         (res.triples
          .select(nt_line_col(
              F.col("subj"), F.col("pred"), F.col("obj")).alias("value"))
          .write.mode("overwrite").text(args.nt_out))
-    wall = time.time() - t0
+        nt_sec = round(time.time() - t_nt, 3)
 
     summary = {
         "run_id": res.run_id,
@@ -89,6 +97,8 @@ def main(argv: list[str] | None = None) -> int:
         "turn_order_violations": n_violations,
         "wall_sec": round(wall, 3),
         "rows_per_sec": round(n_out / wall, 1) if wall > 0 else None,
+        "audit_sec": round(audit_sec, 3),
+        "nt_sink_sec": nt_sec,
         "stages_committed": {
             k: {"rows": m["rows"], "n_partitions": m["n_partitions"]}
             for k, m in res.manifests.items()

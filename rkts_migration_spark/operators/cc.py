@@ -22,11 +22,23 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50,
+    pointer_doubling: bool = True,
 ) -> DataFrame:
     """Edges (src, dst) -> (node, component) with component = min node
     label (lexicographic) in the component. Input ids must be
-    order-safe strings (zero-padded)."""
+    order-safe strings (zero-padded).
+
+    Each round combines (a) 1-hop neighbor label proposals with, when
+    ``pointer_doubling`` (default), (b) a pointer jump — every node
+    also adopts label(label(node)), the label its current label-holder
+    points at. The jump halves remaining chain depth each round, so a
+    depth-d merge chain converges in O(log d) rounds instead of O(d):
+    candidate-match edge sets at 100x corpus scale won't stay shallow,
+    and max_iter=50 label-propagation would silently mislabel a
+    1000-deep chain. Cost per round is one extra self-join on the
+    (node-count-sized, narrow) label table — cheap next to the
+    edge-table join it saves hundreds of rounds of."""
     sym = edges.selectExpr(f"{src} as a", f"{dst} as b").unionByName(
         edges.selectExpr(f"{dst} as a", f"{src} as b")
     ).distinct()
@@ -44,11 +56,19 @@ def connected_components(
             sym.join(labels, sym.a == labels.node, "inner")
             .select(F.col("b").alias("node"), F.col("label"))
         )
+        candidates = labels.select("node", "label").unionByName(proposals)
+        if pointer_doubling:
+            # node -> label(label(node)); every label value is itself a
+            # node (labels are node ids), so the lookup always resolves
+            jump = (
+                labels.alias("x")
+                .join(labels.alias("y"), F.col("x.label") == F.col("y.node"))
+                .select(F.col("x.node").alias("node"),
+                        F.col("y.label").alias("label"))
+            )
+            candidates = candidates.unionByName(jump)
         new_labels = (
-            labels.select("node", "label")
-            .unionByName(proposals)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            candidates.groupBy("node").agg(F.min("label").alias("label"))
         ).localCheckpoint()
         changed = (
             new_labels.alias("n")

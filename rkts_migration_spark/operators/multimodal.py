@@ -46,11 +46,28 @@ class DecodeUnavailable(NotImplementedError):
     """Raised by the real decode path when codec libs are absent."""
 
 
-def _decode_image_real(payload: bytes) -> list[float]:
-    raise DecodeUnavailable(
-        "image decoding requires Pillow/opencv — not in this container; "
-        "wire the real decoder here and keep the batch shape identical"
-    )
+try:  # optional codec: used automatically when Pillow is installed
+    from PIL import Image as _PILImage
+except ImportError:  # this container ships no image libs
+    _PILImage = None
+
+
+def _decode_image_real(payload: bytes, dim: int = 8) -> list[float]:
+    """Real decode path: when Pillow is importable, decode the payload
+    and emit a dim-length grayscale thumbnail feature (resize to
+    (dim, 1), normalized pixel row) — same length/dtype contract as
+    the deterministic fake, so swapping paths never changes the Arrow
+    batch shape. Without Pillow, DecodeUnavailable."""
+    if _PILImage is None:
+        raise DecodeUnavailable(
+            "image decoding requires Pillow — not in this container; "
+            "install Pillow and this path activates with the same "
+            "batch shape as the fake"
+        )
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((dim, 1))
+    return [p / 255.0 for p in img.getdata()]
 
 
 def _feature_fake(payload: bytes, dim: int = 8) -> list[float]:
@@ -79,7 +96,7 @@ def extract_media_features(
                 sizes.append(len(b))
                 shas.append(hashlib.sha256(b).hexdigest()[:16])
                 if use_real_decode:
-                    feats.append(_decode_image_real(b))  # DecodeUnavailable
+                    feats.append(_decode_image_real(b, dim))
                 else:
                     feats.append(_feature_fake(b, dim))
             yield pd.DataFrame({

@@ -41,6 +41,7 @@ def tree_paths(
     )
     frontier = roots.localCheckpoint()
     levels = [frontier]
+    exhausted = True
     for _ in range(max_iter):
         nxt = (
             children.join(frontier, children.pid == frontier.id)
@@ -50,9 +51,22 @@ def tree_paths(
             )
         ).localCheckpoint()
         if nxt.isEmpty():
+            exhausted = False
             break
         levels.append(nxt)
         frontier = nxt
+    if exhausted:
+        # the last frontier still had children to resolve: nodes deeper
+        # than max_iter would otherwise be silently dropped and look
+        # identical to orphans — fail loudly instead.
+        n_unresolved = children.join(
+            frontier, children.pid == frontier.id).count()
+        if n_unresolved:
+            raise RuntimeError(
+                f"tree_paths: max_iter={max_iter} reached with "
+                f"{n_unresolved} unresolved child nodes below the last "
+                f"frontier; raise max_iter (tree deeper than assumed)"
+            )
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)

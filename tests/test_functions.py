@@ -247,3 +247,25 @@ def test_location_grammar_tail():
         r = _parse_one(s, "simple_range")
         assert (r["bvolnum"], r["bpagenum"], r["evolnum"], r["epagenum"]) == \
             (3, 417, 4, 421)
+
+
+def test_chapter_title_clean_divergence_decision(spark):
+    # DECISION RECORD (vs /root/reference/editionxmltottl.php:236-241):
+    # PHP's strpos returns false (-> 0) when '. ' is absent, so the
+    # reference silently drops the first 2 chars of any title WITHOUT
+    # a '. ' separator. That is a bug we deliberately do NOT
+    # reproduce: such titles pass through UNCHANGED here. This test
+    # pins the intended difference so parity sweeps don't flag it.
+    from rkts_migration_spark.functions.text import chapter_title_clean_col
+
+    cases = {
+        "1. intro": "intro",          # ordinal stripped (both engines)
+        "1234. x": "x",               # '. ' within first 5 chars
+        "chapter. none": "chapter. none",  # '. ' too late -> unchanged
+        "no dot": "no dot",           # reference would emit ' dot'
+        "ab": "ab",                   # reference would emit ''
+    }
+    df = spark.createDataFrame([(c,) for c in cases], "raw string")
+    got = {r["raw"]: r["out"] for r in df.select(
+        "raw", chapter_title_clean_col(F.col("raw")).alias("out")).collect()}
+    assert got == cases

@@ -214,3 +214,18 @@ def test_simhash64_halves_exact(spark):
     df = spark.createDataFrame([(1, word)], "doc_id long, text string")
     row = simhash64(df).collect()[0]
     assert (row["simhash_hi"], row["simhash_lo"]) == (expect_hi, expect_lo)
+
+
+def test_connected_components_deep_chain(spark):
+    # 1000-deep merge chain: plain label propagation needs ~1000
+    # rounds (max_iter=50 would silently mislabel); pointer doubling
+    # converges in O(log d) — assert it within 15 rounds.
+    depth = 1000
+    edges = spark.createDataFrame(
+        [(f"E{i:05d}", f"E{i + 1:05d}") for i in range(depth)],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges, max_iter=15).collect()}
+    assert len(got) == depth + 1
+    assert set(got.values()) == {"E00000"}
