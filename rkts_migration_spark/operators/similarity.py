@@ -102,13 +102,148 @@ def lsh_bucket(df: DataFrame, vec_col: str, dim: int, n_planes: int = 8,
     return df.withColumn("lsh_bucket", sig)
 
 
+def lsh_topk_multitable(
+    queries: DataFrame, base: DataFrame, dim: int, k: int = 5,
+    n_planes: int = 8, n_tables: int = 4,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-table LSH ANN: L independent hash tables (per-table plane
+    seeds), candidates = union of same-bucket pairs across tables,
+    deduped BEFORE scoring so each candidate is scored once. Recall
+    ~ 1-(1-p^b)^L grows with L at constant per-table selectivity — the
+    production-recall configuration the single-table variant can't
+    reach. Cost: L bucket equi-joins over narrow (id, bucket) tables;
+    vectors join back in only once, post-dedup — never a cross join."""
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        _quantized(F.col(vec_col)).alias("qv"), F.col(vec_col).alias("_qraw"))
+    bv = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        _quantized(F.col(vec_col)).alias("bv"), F.col(vec_col).alias("_braw"))
+    cand = None
+    for t in range(n_tables):
+        qb = lsh_bucket(
+            qv.select("query_id", F.col("_qraw").alias(vec_col)),
+            vec_col, dim, n_planes, seed=42 + t,
+        ).select("query_id", "lsh_bucket")
+        bb = lsh_bucket(
+            bv.select("neighbor_id", F.col("_braw").alias(vec_col)),
+            vec_col, dim, n_planes, seed=42 + t,
+        ).select("neighbor_id", "lsh_bucket")
+        pairs = qb.join(bb, "lsh_bucket").select("query_id", "neighbor_id")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = (
+        cand.filter(F.col("query_id") != F.col("neighbor_id"))
+        .distinct()  # narrow 2-column dedup before the expensive scoring
+    )
+    scored = (
+        cand.join(qv.select("query_id", "qv"), "query_id")
+        .join(bv.select("neighbor_id", "bv"), "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            _dot(F.col("qv"), F.col("bv")).alias("dot"),
+            _sqnorm(F.col("qv")).alias("qn"),
+            _sqnorm(F.col("bv")).alias("bn"),
+        )
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("qn").cast("double") * F.col("bn").cast("double"))
+    w = Window.partitionBy("query_id").orderBy(cos.desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round(cos, 4).alias("cosine"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame, base: DataFrame, k: int = 5,
+    n_cells: int = 16, n_probe: int = 4,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer assigns every base
+    vector to its nearest centroid cell ONCE; each query probes its
+    n_probe nearest cells and scores only those cells' members via a
+    cell-id equi-join. The centroid table is dimension-sized (n_cells
+    rows) — collected to the driver and folded into a literal argmax
+    expression, the same broadcast-small-dim pattern as the gazetteer;
+    the big side is touched by exactly one narrow assignment pass plus
+    the bucket join. Centroids here are a deterministic sample of the
+    base (first n_cells by id) — at production scale they come from a
+    k-means sample pass, same plumbing.
+
+    Recall/cost dial: n_probe = n_cells degenerates to exact search;
+    n_probe=1 is fastest/lowest-recall."""
+    cent_rows = (
+        base.orderBy(id_col).limit(n_cells)
+        .select(F.col(vec_col).alias("c")).collect()
+    )
+    centroids = [list(r["c"]) for r in cent_rows]
+    import math
+
+    inv_norms = [
+        1.0 / (math.sqrt(sum(x * x for x in c)) or 1.0) for c in centroids
+    ]
+
+    def cell_scores(col):
+        """array<struct(score, cell)> sorted desc — score = cos to
+        centroid c (common |v| factor dropped)."""
+        entries = []
+        for ci, c in enumerate(centroids):
+            dot_c = F.aggregate(
+                F.zip_with(
+                    col, F.array(*[F.lit(x) for x in c]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            entries.append(
+                F.struct((dot_c * inv_norms[ci]).alias("score"),
+                         F.lit(ci).alias("cell")))
+        return F.reverse(F.array_sort(F.array(*entries)))
+
+    b_assigned = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        _quantized(F.col(vec_col)).alias("bv"),
+        cell_scores(F.col(vec_col))[0]["cell"].alias("cell"),
+    )
+    q_probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        _quantized(F.col(vec_col)).alias("qv"),
+        F.explode(
+            F.transform(
+                F.slice(cell_scores(F.col(vec_col)), 1, n_probe),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+    )
+    scored = (
+        q_probes.join(b_assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            _dot(F.col("qv"), F.col("bv")).alias("dot"),
+            _sqnorm(F.col("qv")).alias("qn"),
+            _sqnorm(F.col("bv")).alias("bn"),
+        )
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("qn").cast("double") * F.col("bn").cast("double"))
+    w = Window.partitionBy("query_id").orderBy(cos.desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round(cos, 4).alias("cosine"))
+    )
+
+
 def lsh_topk(
     queries: DataFrame, base: DataFrame, dim: int, k: int = 5,
     n_planes: int = 8, vec_col: str = "embedding", id_col: str = "vec_id",
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket candidates. Recall
-    improves with fewer planes / multiple tables; this single-table
-    variant is the building block."""
+    improves with fewer planes / multiple tables (lsh_topk_multitable);
+    this single-table variant is the building block."""
     qb = lsh_bucket(queries, vec_col, dim, n_planes).select(
         F.col(id_col).alias("query_id"),
         _quantized(F.col(vec_col)).alias("qv"), "lsh_bucket")

@@ -305,3 +305,56 @@ def test_stateful_turn_totals_across_microbatches(spark, tmpdir_ckpt):
     # totals accumulate across the two micro-batches
     assert ("C1", 1, 3) in rows or ("C1", 2, 3) in rows, rows
     assert ("C2", 1, 2) in rows, rows
+
+
+def test_multitable_lsh_recall_beats_single_table(spark):
+    # Base = real 64-dim embeddings + a PLANTED near-duplicate of each
+    # query (query vector with one coordinate nudged): ground truth for
+    # "near-dup retrieval" is unambiguous, unlike exact top-5 over
+    # weakly-clustered data where neighbors sit near 90 degrees and no
+    # LSH configuration can (or should) find them. Multi-table must
+    # dominate single-table and find essentially all planted pairs.
+    from rkts_migration_spark.operators.similarity import (
+        lsh_topk,
+        lsh_topk_multitable,
+    )
+
+    base0 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = base0.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+    planted = queries.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + F.when(i == 0, 0.01).otherwise(0.0)
+        ).cast("array<float>").alias("embedding"),
+    )
+    base = base0.select("vec_id", "embedding").unionByName(planted)
+    want = {(q, q + 10000) for q in range(8)}
+
+    def hits(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()} & want
+
+    single = hits(lsh_topk(queries, base, dim=64, k=5, n_planes=8))
+    multi = hits(
+        lsh_topk_multitable(queries, base, dim=64, k=5, n_planes=8, n_tables=4))
+    assert len(multi) >= len(single)
+    assert len(multi) == len(want)  # every planted near-dup recovered
+
+
+def test_ivf_topk_recall_and_probe_dial(spark):
+    from rkts_migration_spark.operators.similarity import cosine_topk, ivf_topk
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = base.filter(F.col("vec_id") < 8)
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    truth = pairs(cosine_topk(queries, base, k=5))
+    few = pairs(ivf_topk(queries, base, k=5, n_cells=16, n_probe=2))
+    more = pairs(ivf_topk(queries, base, k=5, n_cells=16, n_probe=8))
+    all_cells = pairs(ivf_topk(queries, base, k=5, n_cells=16, n_probe=16))
+    # probing more cells monotonically improves recall; probing every
+    # cell IS the exact search
+    assert len(few & truth) <= len(more & truth) <= len(all_cells & truth)
+    assert all_cells == truth
+    assert len(more & truth) / len(truth) >= 0.5
