@@ -10,6 +10,15 @@ driver-loop pattern as operators/cc.py (no Catalyst feature covers
 iteration, SURVEY.md §4.2). For pathological depths a pointer-doubling
 variant (O(log d) rounds, each squaring the jump) drops in without
 changing the contract.
+
+The child table is checkpointed ONCE before the loop (like cc.py's
+edge table): when `parent` is an expression over the source columns,
+Catalyst's constraint inference composes that expression through each
+level's join, doubling the scan filter per level until codegen falls
+past the JVM's 64 KB method limit and the whole stage drops to
+interpreted mode. An opaque child table keeps every level's plan
+constant-size, and reading the materialized RDD L times also beats L
+re-scans of the source.
 """
 
 from __future__ import annotations
@@ -38,7 +47,7 @@ def tree_paths(
         F.col(id_col).alias("cid"),
         F.col(parent_col).alias("pid"),
         F.col(label_col).alias("clabel"),
-    )
+    ).localCheckpoint()
     frontier = roots.localCheckpoint()
     levels = [frontier]
     exhausted = True

@@ -229,3 +229,43 @@ def test_connected_components_deep_chain(spark):
            for r in connected_components(edges, max_iter=15).collect()}
     assert len(got) == depth + 1
     assert set(got.values()) == {"E00000"}
+
+
+def test_tree_paths_constant_plan_and_max_iter_guard(spark):
+    # The expression-parent regression: when `parent` is derived from
+    # the id column, constraint inference used to compose the
+    # expression through every level's join (plan doubling per level,
+    # codegen past the 64 KB JVM method limit -> interpreted
+    # fallback). With the child table checkpointed once, each level's
+    # optimized plan stays constant-size.
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from rkts_migration_spark.operators.tree import tree_paths
+
+    n = 255  # full binary tree, depth 8
+    base = spark.range(1, n + 1).select(
+        F.col("id"),
+        F.when(F.col("id") == 1, None).otherwise(
+            F.floor(F.col("id") / 2)).cast("long").alias("parent"),
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("label"),
+    )
+    out = tree_paths(base)
+    rows = {r["id"]: r["path"] for r in out.collect()}
+    assert len(rows) == n
+    assert rows[1] == "n1"
+    assert rows[5] == "n1.n2.n5"
+    assert rows[255] == "n1.n3.n7.n15.n31.n63.n127.n255"
+
+    # depth-40 chain with max_iter below the depth must fail loudly,
+    # not silently truncate (truncation is indistinguishable from
+    # orphans downstream).
+    chain = spark.createDataFrame(
+        [(i, None if i == 0 else i - 1, f"c{i}") for i in range(40)],
+        "id long, parent long, label string",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="max_iter"):
+        tree_paths(chain, max_iter=10)
+    deep = tree_paths(chain, max_iter=45)
+    assert deep.count() == 40
