@@ -292,3 +292,77 @@ def jaccard_pairs(
     )
     return jaccard_pairs_from_postings(
         words, id_col=id_col, threshold_pct=threshold_pct, max_df=max_df)
+
+
+def neardup_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 128, bands: int = 16, shingle_n: int = 5,
+    threshold_pct: int = 80, use_xxhash: bool = True,
+) -> DataFrame:
+    """End-to-end near-duplicate clustering — the canonical corpus-
+    dedup flow at 100 TB: MinHash-LSH band buckets propose candidate
+    pairs (bucket equi-joins, never doc x doc), each candidate is
+    VERIFIED with exact word-set Jaccard (arrays joined in for
+    candidate docs only — the candidate set is LSH-bounded, so no
+    hot-token cap is needed on the verify), verified pairs become
+    edges for pointer-doubling connected components (operators/cc.py),
+    and every document lands in a cluster keyed by its min member id.
+
+    Returns (``id_col``, cluster_id, keep): one row per input doc,
+    singletons cluster with themselves, ``keep`` marks the cluster
+    representative (min id — swap in first_wins on a quality column
+    upstream if representative choice should be quality-aware).
+    Dedup = ``.filter("keep")``.
+
+    Ids must be min-orderable consistently with their string form
+    (zero-padded strings or non-negative fixed-width numerics): CC
+    labels travel as strings internally."""
+    ids = df.select(F.col(id_col)).distinct()
+    buckets = minhash_band_buckets(
+        df, text_col, id_col, k=k, bands=bands, shingle_n=shingle_n,
+        use_xxhash=use_xxhash,
+    )
+    cand = None
+    for b in range(bands):
+        a_side = buckets.select(F.col(id_col).alias("doc_a"),
+                                F.col(f"b{b}").alias("_bk"))
+        b_side = buckets.select(F.col(id_col).alias("doc_b"),
+                                F.col(f"b{b}").alias("_bk"))
+        p = (a_side.join(b_side, "_bk")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b"))
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+
+    words = df.filter(F.length(text_col) > 0).select(
+        F.col(id_col),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("_ws"),
+    )
+    wa = words.select(F.col(id_col).alias("doc_a"), F.col("_ws").alias("_wa"))
+    wb = words.select(F.col(id_col).alias("doc_b"), F.col("_ws").alias("_wb"))
+    inter = F.size(F.array_intersect("_wa", "_wb"))
+    union = F.size(F.array_union("_wa", "_wb"))
+    edges = (
+        cand.join(wa, "doc_a").join(wb, "doc_b")
+        .filter(inter * 100 >= union * threshold_pct)
+        .select(F.col("doc_a").cast("string").alias("src"),
+                F.col("doc_b").cast("string").alias("dst"))
+    )
+
+    from .cc import connected_components
+
+    comp = connected_components(edges)
+    out = (
+        ids.join(
+            comp.select(F.col("node"), F.col("component")),
+            ids[id_col].cast("string") == F.col("node"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"),
+                       F.col(id_col).cast("string")).alias("cluster_id"),
+        )
+    )
+    # the CC component label IS the min member id, so the
+    # representative test is a row-local comparison — no extra shuffle
+    return out.withColumn(
+        "keep", F.col(id_col).cast("string") == F.col("cluster_id"))

@@ -98,19 +98,31 @@ def run_one(cores: int) -> dict:
     # pipeline (extraction included), not cached intermediates
     build().count()
 
+    def _steal_cs() -> int:
+        # /proc/stat "cpu" line, 8th value = cumulative centiseconds
+        # the hypervisor ran OTHER tenants while this VM had runnable
+        # work — direct evidence of host interference during a trial
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+
     walls = []
+    steals = []
     n = 0
     for _ in range(TRIALS):
         spark.catalog.clearCache()
         # build() eagerly materializes the stage caches, so it is part
         # of the measured region — t0 comes first
+        s0 = _steal_cs()
         t0 = time.time()
         n = build().count()
         walls.append(time.time() - t0)
+        steals.append(_steal_cs() - s0)
     wall = min(walls)
     spark.stop()
     return {"cores": cores, "triples": n, "wall_sec": round(wall, 3),
             "all_walls": [round(w, 3) for w in walls],
+            "all_steal_cs": steals,
+            "min_trial_steal_cs": steals[walls.index(wall)],
             "triples_per_sec": round(n / wall, 1)}
 
 
@@ -153,40 +165,45 @@ def main() -> int:
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling.json", "w") as f:
         json.dump(summary, f)
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write(f"""# BENCH/BASELINE — measured throughput + scaling efficiency
 
-KG-construction pipeline (extract -> link -> canonicalize ->
-materialize, rkts_migration_spark.pipeline.build_triples_inmem) over
-lineitem-derived transcripts at {summary["sf"]}, identical input and
-shuffle partitioning ({SHUFFLE_PARTITIONS}); only executor-thread
-count varies (sandbox proxy for N vs 4N executors per BASELINE.md).
-Each process is pinned with `taskset` to exactly its core budget.
+    section = f"""<!-- SCALING-MEASUREMENT:BEGIN (scripts/scaling_bench.py) -->
+## Headline: N={N_SMALL} -> 4N={N_BIG} (latest measurement)
 
-| parallelism | triples | wall (s) | triples/sec | all trials (s) |
-|---|---|---|---|---|
-| local[{N_SMALL}] (N) | {small["triples"]:,} | {small["wall_sec"]} | {small["triples_per_sec"]:,} | {small["all_walls"]} |
-| local[{N_BIG}] (4N) | {big["triples"]:,} | {big["wall_sec"]} | {big["triples_per_sec"]:,} | {big["all_walls"]} |
+| parallelism | triples | wall (s) | triples/sec | all trials (s) | steal/trial (cs) |
+|---|---|---|---|---|---|
+| local[{N_SMALL}] (N) | {small["triples"]:,} | {small["wall_sec"]} | {small["triples_per_sec"]:,} | {small["all_walls"]} | {small["all_steal_cs"]} |
+| local[{N_BIG}] (4N) | {big["triples"]:,} | {big["wall_sec"]} | {big["triples_per_sec"]:,} | {big["all_walls"]} | {big["all_steal_cs"]} |
 
-**Scaling efficiency (N -> 4N): {eff:.3f}** (target >= 0.8, BASELINE.md).
+**Scaling efficiency (N -> 4N): {eff:.3f}** (target >= 0.8,
+BASELINE.md). Steal columns are cumulative hypervisor steal
+centiseconds during each trial (/proc/stat) — nonzero values mean the
+shared host ran other tenants inside the measured region; min wall is
+reported (interference only ever adds time).
 
 Methodology: one warm-up execution per JVM (JIT, parquet footer
 cache), then {TRIALS} full measured executions with caches cleared
-between runs; min wall is reported (GC/JIT noise only ever adds
-time). Identical triple counts at both levels confirm
-parallelism-invariant semantics.
+between runs; identical triple counts at both levels confirm
+parallelism-invariant semantics. Each process is pinned with
+`taskset` to exactly its core budget; shuffle partitioning
+({SHUFFLE_PARTITIONS}) is identical at both levels.
+<!-- SCALING-MEASUREMENT:END -->"""
 
-Why N={N_SMALL}: this box has one memory controller shared by all 32
-cores. A local[32] run divides the same memory bandwidth across 4x
-the threads that local[8] has to itself, which penalizes the 4N level
-in a way a real cluster does not (4N executors bring 4x aggregate
-bandwidth). N=4 -> 4N=16 keeps the top level below the bandwidth
-saturation knee, making core-count the only varying resource — the
-honest single-box analog of adding executors. The saturated 8 -> 32
-pair measured {os.environ.get("SCALING_8_32_NOTE", "~0.51")} on the
-same input, consistent with bandwidth-bound string/hash work, not
-with any serial stage in the plan (per-family profiles scale 3-12x).
-""")
+    path = "BENCH/BASELINE.md"
+    begin, end = ("<!-- SCALING-MEASUREMENT:BEGIN (scripts/scaling_bench.py) -->",
+                  "<!-- SCALING-MEASUREMENT:END -->")
+    try:
+        with open(path) as f:
+            doc = f.read()
+    except FileNotFoundError:
+        doc = "# BENCH/BASELINE — measured throughput + scaling efficiency\n"
+    if begin in doc and end in doc:
+        pre = doc.split(begin)[0]
+        post = doc.split(end, 1)[1]
+        doc = pre + section + post
+    else:
+        doc = doc.rstrip() + "\n\n" + section + "\n"
+    with open(path, "w") as f:
+        f.write(doc)
     return 0
 
 

@@ -269,3 +269,38 @@ def test_tree_paths_constant_plan_and_max_iter_guard(spark):
         tree_paths(chain, max_iter=10)
     deep = tree_paths(chain, max_iter=45)
     assert deep.count() == 40
+
+
+def test_neardup_clusters_end_to_end(spark):
+    # Planted corpus: A-B and B-C are near-dups (word Jaccard 9/11 =
+    # 0.818 >= 0.8) but A-C is NOT (8/12 = 0.667) — the cluster
+    # {A, B, C} only falls out of transitive closure over VERIFIED
+    # pairs, so this exercises LSH candidates, the exact-Jaccard
+    # verify (which must reject any A-C candidate the buckets
+    # propose), and connected components in one pass.
+    from rkts_migration_spark.operators.dedup import neardup_clusters
+
+    w = [f"w{i}" for i in range(1, 11)]
+    docs = [
+        ("d001", " ".join(w)),
+        ("d002", " ".join(w[:9] + ["x1"])),
+        ("d003", " ".join(w[:8] + ["x1", "z1"])),
+        ("d005", "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"),
+        ("d006", "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"),
+        ("d007", "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"),
+        ("d008", "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = neardup_clusters(
+        df, k=16, bands=16, shingle_n=1, threshold_pct=80)
+    rows = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in out.collect()}
+    assert len(rows) == len(docs)
+    assert rows["d001"] == ("d001", True)
+    assert rows["d002"] == ("d001", False)
+    assert rows["d003"] == ("d001", False)  # transitive via d002
+    assert rows["d005"] == ("d005", True)
+    assert rows["d006"] == ("d005", False)
+    assert rows["d007"] == ("d007", True)
+    assert rows["d008"] == ("d008", True)
+    kept = sorted(r["doc_id"] for r in out.filter("keep").collect())
+    assert kept == ["d001", "d005", "d007", "d008"]
