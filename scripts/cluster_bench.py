@@ -104,17 +104,27 @@ def run_level(n_exec: int) -> dict:
         t["transcripts"] = spark.read.parquet(input_dir)
         return build_triples_inmem(spark, t)
 
+    def _steal_cs() -> int:
+        # /proc/stat cumulative hypervisor-steal centiseconds: per-trial
+        # interference evidence (same sampling as scripts/scaling_bench.py)
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+
     build().count()  # warm-up (JIT per executor JVM)
-    walls, n = [], 0
+    walls, steals, n = [], [], 0
     for _ in range(TRIALS):
         spark.catalog.clearCache()
+        s0 = _steal_cs()
         t0 = time.time()
         n = build().count()
         walls.append(round(time.time() - t0, 3))
+        steals.append(_steal_cs() - s0)
     spark.stop()
     wall = min(walls)
     return {"executors": n_exec, "cores_per_executor": CORES_PER_EXEC,
             "triples": n, "wall_sec": wall, "all_walls": walls,
+            "all_steal_cs": steals,
+            "min_trial_steal_cs": steals[walls.index(wall)],
             "triples_per_sec": round(n / wall, 1)}
 
 
