@@ -131,3 +131,29 @@ def stateful_turn_totals(transcript_stream: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_exact_dedup(
+    doc_stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup for corpus ingestion: re-deliveries of
+    byte-identical content (retries, crawler overlap, at-least-once
+    sources) are dropped ACROSS micro-batches. The key is a content
+    address (sha2 of the text), so the dedup state stores one short
+    hash per distinct document — never the text — and
+    ``dropDuplicatesWithinWatermark`` evicts a hash once the event-time
+    watermark passes it, bounding state for an unbounded stream (a
+    plain ``dropDuplicates`` on a stream accumulates state forever).
+    The batch analog is operators/dedup.exact_dedup — same key, same
+    first-wins semantics within the watermark horizon."""
+    from pyspark.sql import functions as F
+
+    keyed = doc_stream.withWatermark(ts_col, watermark).withColumn(
+        "_content_sha", F.sha2(F.col(text_col), 256)
+    )
+    return keyed.dropDuplicatesWithinWatermark(["_content_sha"]).drop(
+        "_content_sha"
+    )

@@ -358,3 +358,44 @@ def test_ivf_topk_recall_and_probe_dial(spark):
     assert len(few & truth) <= len(more & truth) <= len(all_cells & truth)
     assert all_cells == truth
     assert len(more & truth) / len(truth) >= 0.5
+
+
+def test_stream_exact_dedup_across_microbatches(spark, tmpdir_ckpt):
+    """dropDuplicatesWithinWatermark keyed on the content sha: a
+    re-delivered identical document in a LATER micro-batch is dropped;
+    distinct content passes. Two file drops, maxFilesPerTrigger=1 =>
+    two micro-batches."""
+    import datetime
+    import os
+
+    from rkts_migration_spark.streaming.incremental import (
+        stream_exact_dedup,
+        stream_from_directory,
+    )
+
+    ddl = "doc_id string, text string, ts timestamp"
+    src = os.path.join(tmpdir_ckpt, "dedup_src")
+    os.makedirs(src)
+    t0 = datetime.datetime(2026, 1, 1, 10, 0, 0)
+
+    batch1 = [("A", "alpha text", t0),
+              ("B", "beta text", t0 + datetime.timedelta(minutes=1))]
+    batch2 = [("B2", "beta text", t0 + datetime.timedelta(minutes=5)),  # dup
+              ("C", "gamma text", t0 + datetime.timedelta(minutes=6))]
+    spark.createDataFrame(batch1, ddl).coalesce(1).write.mode(
+        "append").parquet(src)
+    spark.createDataFrame(batch2, ddl).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    stream = stream_from_directory(spark, src, ddl)
+    deduped = stream_exact_dedup(stream, watermark="1 hour")
+    q = (deduped.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(tmpdir_ckpt, "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_out").collect()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["alpha text", "beta text", "gamma text"]
+    # the survivor of the duplicate content is the FIRST delivery
+    assert {r["doc_id"] for r in rows} == {"A", "B", "C"}
