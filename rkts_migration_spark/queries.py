@@ -504,6 +504,9 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        CAST(LEN(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       CAST(LEN(regexp_extract_all(text,
+            '''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+            AS BIGINT) AS n_bpe_tokens,
        CAST(ROUND(CAST(LEN(list_distinct(string_split(text, ' '))) AS DECIMAL(18,6))
             / CAST(LEN(string_split(text, ' ')) AS DECIMAL(18,6)), 4) AS DOUBLE)
             AS distinct_ratio,
@@ -512,10 +515,14 @@ FROM documents
 WHERE LENGTH(text) > 0
 """)
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + type/token ratio + prefix-shingle document
+    """Token counting (whitespace + BPE-ish pre-tokenizer regex,
+    operators/textstats.BPE_PRETOKEN_PATTERN — same RE2-safe pattern
+    on both engines) + type/token ratio + prefix-shingle document
     fingerprint (rolling-hash family) — the per-document text-quality
     columns computed in ONE narrow projection over a single scan.
     Ratio computed in decimal so both engines round identically."""
+    from .operators.textstats import bpe_token_count
+
     d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
     toks = F.split(F.col("text"), " ")
     n_tok = F.size(toks).cast("long")
@@ -525,6 +532,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_tok.alias("n_tokens"),
         n_dis.alias("n_distinct"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
         F.round(
             n_dis.cast("decimal(18,6)") / n_tok.cast("decimal(18,6)"), 4
         ).cast("double").alias("distinct_ratio"),

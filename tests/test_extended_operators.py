@@ -399,3 +399,51 @@ def test_stream_exact_dedup_across_microbatches(spark, tmpdir_ckpt):
     assert texts == ["alpha text", "beta text", "gamma text"]
     # the survivor of the duplicate content is the FIRST delivery
     assert {r["doc_id"] for r in rows} == {"A", "B", "C"}
+
+
+def test_sample_video_frames(spark):
+    """Frame sampling: only video rows cross the Arrow boundary; the
+    fake decode chunks the payload into frame_bytes records and emits
+    every_n-th frame with a deterministic sha."""
+    import hashlib
+
+    from rkts_migration_spark.operators.multimodal import (
+        sample_video_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=12)  # kinds cycle image/audio/video
+    out = sample_video_frames(media, every_n=2, frame_bytes=32).collect()
+    assert out, "no sampled frames"
+    video_ids = {r["media_id"] for r in media.filter("kind = 'video'").collect()}
+    assert {r["media_id"] for r in out} <= video_ids
+    assert all(r["frame_idx"] % 2 == 0 for r in out)
+    # spot-check one frame's sha against a local recomputation
+    row = media.filter("kind = 'video'").orderBy("media_id").first()
+    payload = bytes(row["payload"])
+    want = hashlib.sha256(payload[0:32]).hexdigest()[:16]
+    got = [r for r in out if r["media_id"] == row["media_id"]
+           and r["frame_idx"] == 0]
+    assert got and got[0]["sha"] == want and got[0]["n_bytes"] == 32
+
+
+def test_bpe_token_count_edges(spark):
+    """BPE pre-tokenizer counts: contractions split, digit/letter runs
+    split, punctuation separate, multi-space runs count once."""
+    from pyspark.sql import functions as F
+
+    from rkts_migration_spark.operators.textstats import bpe_token_count
+
+    cases = [
+        ("hello world", 2),          # " world" folds the space in
+        ("it's fine", 3),            # it / 's / " fine"
+        ("a1b2", 4),                 # letter/digit alternation splits
+        ("x  y", 3),                 # "x", " " run, " y"? -> x, ' ', ' y'
+        ("...", 1),                  # one punctuation run
+        ("", 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
+    got = {r["text"]: r["n"] for r in df.select(
+        "text", bpe_token_count(F.col("text")).alias("n")).collect()}
+    for text, want in cases:
+        assert got[text] == want, (text, got[text], want)
