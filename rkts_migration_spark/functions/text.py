@@ -37,6 +37,17 @@ def nt_escape_col(c: Column) -> Column:
     return F.when(needs, out).otherwise(c)
 
 
+def xml_escape_col(c: Column) -> Column:
+    """XML text-content escaping with byte parity to
+    ``xml.sax.saxutils.escape`` (the reference's escaper,
+    /root/reference/sqltoxml.py:2,147): ``&`` first so the entities
+    introduced by ``<``/``>`` are not double-escaped. Literal
+    ``F.replace`` (no regex) — stays inside whole-stage codegen."""
+    out = F.replace(c, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    return F.replace(out, F.lit(">"), F.lit("&gt;"))
+
+
 def str_lit_col(c: Column, lang) -> Column:
     """N-Triples language-tagged literal; ``lang`` is a Column or str."""
     lang_col = lang if isinstance(lang, Column) else F.lit(lang)

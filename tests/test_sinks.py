@@ -43,3 +43,43 @@ def test_md5_bucketed_json_manifest_sink(spark, tmp_path):
         # JSON field order is deterministic (schema order)
         keys = [list(r.keys()) for r in rows]
         assert all(k == keys[0] for k in keys)
+
+
+def test_xml_outline_sink(spark, tmp_path):
+    """K5+F19 analog (sqltoxml.py:27-42,140-150): one <outline>
+    document per collection, items in ordinal order, text escaped with
+    xml.sax.saxutils.escape parity; the fragment render and global
+    sort are distributed, only the final byte stitch is serial."""
+    import xml.etree.ElementTree as ET
+    from xml.sax.saxutils import escape
+
+    from rkts_migration_spark.functions.text import xml_escape_col
+    from rkts_migration_spark.sources.xml_sink import write_xml_outline
+
+    rows = [
+        ("K", 2, "K0002", "b <&> c"),
+        ("K", 1, "K0001", "a & b"),
+        ("T", 1, "T0001", 'quote " stays'),
+        ("K", 3, "K0003", "plain"),
+    ]
+    df = spark.createDataFrame(
+        rows, "coll string, ord int, rkts string, tib string"
+    ).repartition(4)  # prove order survives arbitrary input partitioning
+    item = F.format_string(
+        "<item><rkts>%s</rkts><tib>%s</tib></item>",
+        F.col("rkts"), xml_escape_col(F.col("tib")),
+    )
+    out = str(tmp_path / "xml_out")
+    paths = write_xml_outline(df, "coll", item, ["ord"], out)
+    assert set(paths) == {"K", "T"}
+
+    root = ET.parse(paths["K"]).getroot()
+    assert root.tag == "outline"
+    items = root.findall("item")
+    assert [i.find("rkts").text for i in items] == ["K0001", "K0002", "K0003"]
+    # escape() round-trips through the parser back to the raw value
+    assert [i.find("tib").text for i in items] == ["a & b", "b <&> c", "plain"]
+    raw = open(paths["K"], encoding="utf-8").read()
+    assert escape("b <&> c") in raw and raw.endswith("</outline>")
+    t_items = ET.parse(paths["T"]).getroot().findall("item")
+    assert [i.find("tib").text for i in t_items] == ['quote " stays']
