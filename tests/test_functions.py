@@ -269,3 +269,25 @@ def test_chapter_title_clean_divergence_decision(spark):
     got = {r["raw"]: r["out"] for r in df.select(
         "raw", chapter_title_clean_col(F.col("raw")).alias("out")).collect()}
     assert got == cases
+
+
+def test_xml_escape_parity(spark):
+    """xml_escape_col vs xml.sax.saxutils.escape (the reference's
+    escaper, sqltoxml.py:2,147) over adversarial inputs: entity-like
+    text must double-escape, & must be escaped exactly once."""
+    from xml.sax.saxutils import escape
+
+    from rkts_migration_spark.functions.text import xml_escape_col
+
+    cases = [
+        "plain", "a & b", "<tag>", "a<b>c&d", "&amp;", "&lt;already&gt;",
+        "&&&", "<<>>", "", "unicode ༄ stays", 'quote " untouched',
+        "mix &<>\n\ttail",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [r["e"] for r in
+           df.select(xml_escape_col(F.col("s")).alias("e")).collect()]
+    for c, g in zip(cases, got):
+        assert g == escape(c), repr(c)
+    # the order-of-operations trap: pre-escaped text escapes AGAIN
+    assert escape("&amp;") == "&amp;amp;"
