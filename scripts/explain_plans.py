@@ -105,6 +105,31 @@ def main() -> int:
         plan_of(trie),
     ))
 
+    # 6. XML sink pre-write shape: range-partition + in-partition sort
+    from rkts_migration_spark.functions.text import xml_escape_col
+
+    xml_df = (
+        tables["transcripts"]
+        .select(
+            F.col("role").alias("coll"),
+            F.col("turn_idx").alias("ord"),
+            F.format_string(
+                "<item><tib>%s</tib></item>", xml_escape_col(F.col("text"))
+            ).alias("value"),
+        )
+        .repartitionByRange("coll", "ord")
+        .sortWithinPartitions("coll", "ord")
+        .select("coll", "value")
+    )
+    sections.append((
+        "XML outline sink: rangepartitioning + in-partition sort, no global sort",
+        "fragments are ordered by (coll, ord) via Exchange rangepartitioning "
+        "+ Sort [local] — contiguous ordinal ranges per part file make "
+        "part-file order document order without a single-reducer global sort; "
+        "escaping is a literal replace chain inside WholeStageCodegen",
+        plan_of(xml_df),
+    ))
+
     out = ["# PLANS — formatted physical plans of the load-bearing shapes",
            "",
            "Generated by `python scripts/explain_plans.py` (sf0.001 inputs;",
