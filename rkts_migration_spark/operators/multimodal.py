@@ -182,3 +182,75 @@ def sample_video_frames(
             })
 
     return src.mapInPandas(per_batch, schema=FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "media_id long, payload binary, width int, height int, format string"
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    use_real_decode: bool = False,
+) -> DataFrame:
+    """Image resize over mapInPandas: (media_id, payload') with the
+    target dimensions stamped as typed metadata. Kind filter and
+    column pruning run JVM-side, so only image payloads cross the
+    Arrow boundary, and the output payload is bounded by
+    width*height bytes per row — the transform that turns a skewed
+    raw-bytes column into a fixed-budget one before feature
+    extraction or storage.
+
+    With Pillow present (``use_real_decode=True``) the payload is
+    decoded, resized to (width, height) grayscale, and re-emitted as
+    raw pixel bytes; without codecs the deterministic fake strides
+    the input bytes down to exactly width*height samples (numpy
+    index, no Python loop per byte). Both paths share RESIZED_SCHEMA,
+    so swapping them never changes the plan."""
+    import numpy as np
+
+    src = media.filter(F.col("kind") == "image").select("media_id", "payload")
+    n_out = width * height
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, fmts = [], []
+            for payload in pdf["payload"].values:
+                b = bytes(payload) if payload is not None else b""
+                if use_real_decode:
+                    if _PILImage is None:
+                        raise DecodeUnavailable(
+                            "image resize requires Pillow — not in this "
+                            "container; install Pillow and this path "
+                            "activates with the same output schema"
+                        )
+                    import io
+
+                    img = (
+                        _PILImage.open(io.BytesIO(b))
+                        .convert("L")
+                        .resize((width, height))
+                    )
+                    payloads.append(img.tobytes())
+                    fmts.append("gray8")
+                else:
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    if arr.size == 0:
+                        payloads.append(b"\x00" * n_out)
+                    else:
+                        idx = np.linspace(
+                            0, arr.size - 1, n_out
+                        ).astype(np.int64)
+                        payloads.append(arr[idx].tobytes())
+                    fmts.append("fake8")
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "payload": payloads,
+                "width": pd.Series([width] * len(payloads), dtype="int32"),
+                "height": pd.Series([height] * len(payloads), dtype="int32"),
+                "format": fmts,
+            })
+
+    return src.mapInPandas(per_batch, schema=RESIZED_SCHEMA)

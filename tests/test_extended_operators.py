@@ -447,3 +447,30 @@ def test_bpe_token_count_edges(spark):
         "text", bpe_token_count(F.col("text")).alias("n")).collect()}
     for text, want in cases:
         assert got[text] == want, (text, got[text], want)
+
+
+def test_resize_images(spark):
+    """Resize plumbing: only image rows cross the boundary, every
+    output payload is exactly width*height bytes (the fixed byte
+    budget), the fake stride is deterministic, and empty payloads
+    produce zero-filled output instead of failing."""
+    import numpy as np
+
+    from rkts_migration_spark.operators.multimodal import (
+        resize_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=9)  # kinds cycle image/audio/video
+    out = resize_images(media, width=8, height=4).collect()
+    image_ids = {r["media_id"] for r in media.filter("kind = 'image'").collect()}
+    assert {r["media_id"] for r in out} == image_ids
+    assert all(len(bytes(r["payload"])) == 32 for r in out)
+    assert all((r["width"], r["height"], r["format"]) == (8, 4, "fake8")
+               for r in out)
+    # deterministic: the stride of the raw bytes, recomputed locally
+    row = media.filter("kind = 'image'").orderBy("media_id").first()
+    arr = np.frombuffer(bytes(row["payload"]), dtype=np.uint8)
+    want = arr[np.linspace(0, arr.size - 1, 32).astype(np.int64)].tobytes()
+    got = [bytes(r["payload"]) for r in out if r["media_id"] == row["media_id"]]
+    assert got == [want]
