@@ -19,12 +19,14 @@ from pyspark.sql import DataFrame, SparkSession
 from rkts_migration_spark import queries as _q
 from rkts_migration_spark import queries_ext as _qext  # noqa: F401  (registers)
 from rkts_migration_spark import queries_kg as _qkg  # noqa: F401  (registers)
-from rkts_migration_spark.queries_kg import q_kg_triples_full
+from rkts_migration_spark.queries_kg import kg_triples_trie
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return q_kg_triples_full(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+    Runs the full multi-token trie pipeline (the oracle-checked
+    single-token twin is queries()['q_kg_triples_full'])."""
+    return kg_triples_trie(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

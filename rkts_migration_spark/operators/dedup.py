@@ -248,14 +248,28 @@ def jaccard_pairs_from_postings(
     count only surviving tokens), i.e. stop-word-removed Jaccard —
     self-consistent and engine-mirrorable. Pass ``max_df=None`` only
     on pre-bounded inputs (e.g. postings restricted to LSH candidate
-    buckets)."""
+    buckets).
+
+    The guard itself must be scale-safe: counting document frequency
+    with a window (`COUNT OVER (PARTITION BY token)`) would colocate a
+    hot token's ENTIRE posting list in one task before filtering it —
+    the exact blowup the guard exists to prevent. Instead the count is
+    a `groupBy(token).count()` (map-side partial aggregation shrinks
+    every split to one row per token before the shuffle), the
+    over-cap tokens become a broadcast heavy-hitter list, and postings
+    drop them with a broadcast LEFT ANTI join — no shuffle of the
+    postings at all. The heavy-hitter list is bounded by
+    |postings| / max_df distinct tokens (each needs > max_df rows),
+    so at max_df=1000 it is 1000x smaller than the corpus —
+    broadcast-sized by construction."""
     if max_df is not None:
-        dfreq = Window.partitionBy(token_col)
-        postings = (
-            postings.withColumn("_df", F.count(F.lit(1)).over(dfreq))
-            .filter(F.col("_df") <= max_df)
-            .drop("_df")
+        hot = (
+            postings.groupBy(token_col)
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select(token_col)
         )
+        postings = postings.join(F.broadcast(hot), token_col, "left_anti")
     sizes = postings.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_words"))
     a, b = postings.alias("a"), postings.alias("b")
     inter = (

@@ -122,12 +122,14 @@ def q_kg_section_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return section_triples(ordered)
 
 
-@register("q_kg_triples_full", None)  # trie extraction => rows-only check
-def q_kg_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kg_triples_trie(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete pipeline (extract -> link -> canonicalize ->
-    materialize) over documents-derived transcripts; the mention scan
-    is the mapInPandas trie, which SQL can't express — the golden-
-    oracle pytest gate (tests/test_pipeline.py) covers its semantics."""
+    materialize) over documents-derived transcripts with the FULL
+    multi-token gazetteer; the mention scan is the mapInPandas trie,
+    which SQL can't express — the golden-oracle pytest gate
+    (tests/test_pipeline.py) covers its semantics, and the driver's
+    entry() smoke-check runs this variant. The driver-oracle row for
+    the same end-to-end composition is q_kg_triples_full below."""
     return build_triples_inmem(spark, _kg_tables(spark, sf_dir))
 
 
@@ -329,3 +331,127 @@ def q_kg_entity_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables["id_remap"], tables["cross_corpus_map"], tables["same_text_map"])
     mentioned = linked.select("canon_id").distinct()
     return entity_prop_triples(tables["entity_props"], cm, iri_map, mentioned)
+
+
+# =====================================================================
+# Flagship with a value-hash oracle: the COMPLETE pipeline
+# (extract -> link -> canonicalize -> materialize, assemble_triples'
+# 7-family union) run through build_triples_inmem over the
+# single-token gazetteer, so the whole composition is SQL-expressible.
+# The oracle is the UNION ALL of the seven per-family oracles above
+# over shared CTEs — families are pairwise predicate-disjoint, so no
+# dedup across the union (mirroring assemble_triples' no-global-
+# distinct contract). The multi-token trie variant stays pytest-gated
+# (kg_triples_trie + golden oracle P/R=1.0).
+# =====================================================================
+
+@register("q_kg_triples_full", f"""
+WITH {_DIM_SQL},
+{_props_dim_sql()},
+{_WORDS_SQL},
+tiri AS (
+  SELECT printf('{V.CONV}%s/turn/%04d', conv_id, turn_idx) AS turn_iri,
+         '{V.CONV}' || conv_id AS conv_iri, *
+  FROM t),
+sflag AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN LAG(role) OVER w IS NULL
+                OR LAG(role) OVER w <> role THEN 1 ELSE 0 END AS chg
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+sisl AS (
+  SELECT conv_id, turn_idx,
+         SUM(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS UNBOUNDED PRECEDING) AS section_idx
+  FROM sflag),
+sbnd AS (
+  SELECT conv_id, section_idx,
+         MIN(turn_idx) AS b, MAX(turn_idx) AS e
+  FROM sisl GROUP BY conv_id, section_idx),
+siri AS (
+  SELECT conv_id, section_idx, b, e,
+         printf('{V.CONV}%s/section/%s_%02d', conv_id,
+                UPPER(SUBSTR(sha256(conv_id || '#' || CAST(section_idx AS VARCHAR)),
+                             1, 6)),
+                CAST(section_idx AS INT)) AS sec_iri
+  FROM sbnd),
+lwin AS (
+  SELECT iri, lang, w, conv_id, turn_idx, midx,
+         ROW_NUMBER() OVER (PARTITION BY canon, w
+                            ORDER BY conv_id, turn_idx, midx) AS rn
+  FROM m),
+lflag AS (
+  SELECT iri, lang, w, conv_id, turn_idx, midx,
+         ROW_NUMBER() OVER (PARTITION BY iri, lang
+                            ORDER BY conv_id, turn_idx, midx) AS rl
+  FROM lwin WHERE rn = 1),
+cnt AS (
+  SELECT conv_id, canon, pad, MIN(iri) AS iri, COUNT(*) AS c
+  FROM m GROUP BY conv_id, canon, pad),
+topw AS (
+  SELECT conv_id, iri,
+         ROW_NUMBER() OVER (PARTITION BY conv_id
+                            ORDER BY c DESC, pad, canon) AS rn
+  FROM cnt),
+mentioned AS (SELECT DISTINCT canon, iri FROM m)
+SELECT subj, pred, obj FROM (
+  SELECT turn_iri AS subj, '{V.PRED_PART_OF}' AS pred, conv_iri AS obj FROM tiri
+  UNION ALL
+  SELECT turn_iri, '{V.PRED_TURN_INDEX}',
+         '"' || CAST(turn_idx AS VARCHAR) || '"^^<{V.XSD_INT}>' FROM tiri
+  UNION ALL
+  SELECT turn_iri, '{V.PRED_ROLE}', '"' || role || '"@en' FROM tiri
+  UNION ALL
+  SELECT turn_iri, '{V.PRED_USED_TOOL}', '"' || tool || '"@en'
+  FROM tiri WHERE tool IS NOT NULL
+  UNION ALL
+  SELECT turn_iri, '{V.PRED_TEXT}',
+         '"' || {_ESCAPED.format(c="text")} || '"@en'
+  FROM tiri WHERE text NOT IN ('', '-')
+  UNION ALL
+  SELECT '{V.CONV}' || conv_id, '{V.PRED_N_TURNS}',
+         '"' || CAST(COUNT(*) AS VARCHAR) || '"^^<{V.XSD_INT}>'
+  FROM t GROUP BY conv_id
+  UNION ALL
+  SELECT '{V.CONV}' || conv_id, '{V.PRED_HAS_SECTION}', sec_iri FROM siri
+  UNION ALL
+  SELECT sec_iri, '{V.PRED_SECTION_INDEX}',
+         '"' || CAST(section_idx AS VARCHAR) || '"^^<{V.XSD_INT}>' FROM siri
+  UNION ALL
+  SELECT sec_iri, '{V.PRED_BEGIN_TURN}',
+         printf('{V.CONV}%s/turn/%04d', conv_id, b) FROM siri
+  UNION ALL
+  SELECT sec_iri, '{V.PRED_END_TURN}',
+         printf('{V.CONV}%s/turn/%04d', conv_id, e) FROM siri
+  UNION ALL
+  SELECT DISTINCT printf('{V.CONV}%s/turn/%04d', conv_id, turn_idx),
+         '{V.PRED_MENTIONS}', iri
+  FROM m
+  UNION ALL
+  SELECT '{V.CONV}' || conv_id, '{V.PRED_TOP_ENTITY}', iri
+  FROM topw WHERE rn = 1
+  UNION ALL
+  SELECT iri,
+         CASE WHEN rl = 1 THEN '{V.PRED_PREF_LABEL}'
+              ELSE '{V.PRED_ALT_LABEL}' END,
+         '"' || w || '"@' || lang
+  FROM lflag
+  UNION ALL
+  SELECT DISTINCT mentioned.iri,
+         CASE props.prop WHEN 'ab' THEN '{V.PRED_WORK_IS_ABOUT}'
+              ELSE '{V.PRED_WORK_GENRE}' END,
+         (CASE props.prop WHEN 'ab' THEN '{V.TOPIC}' ELSE '{V.GENRE}' END)
+           || props.obj
+  FROM props JOIN mentioned ON props.canon = mentioned.canon
+) u
+""")
+def q_kg_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pipeline with a driver value-hash oracle: the same
+    build_triples_inmem composition as the flagship, run over the
+    single-token gazetteer so every stage (including extraction, which
+    degenerates to word-level equality) has an exact SQL mirror."""
+    from pyspark.sql import functions as F
+
+    tables = _kg_tables(spark, sf_dir)
+    tables["gazetteer"] = tables["gazetteer"].filter(
+        ~F.trim(F.col("surface")).contains(" "))
+    return build_triples_inmem(spark, tables)

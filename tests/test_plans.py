@@ -56,6 +56,28 @@ def test_ordered_stage_single_exchange(spark):
     assert count_exchanges(out) == 1, physical_plan(out)
 
 
+def test_jaccard_guard_partial_agg_no_window(spark):
+    """The max_df hot-token guard must count document frequency with a
+    partially-aggregating groupBy (map-side combine) and drop hot
+    tokens via a broadcast anti join — NEVER a Window, which would
+    colocate a stop word's whole posting list in one task (the exact
+    blowup the guard exists to prevent)."""
+    from rkts_migration_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"common w{i} w{i + 1}") for i in range(8)],
+        "doc_id int, text string",
+    )
+    plan = physical_plan(jaccard_pairs(docs, max_df=3))
+    assert "Window" not in plan, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # semantics: 'common' (df=8 > 3) is dropped; each doc keeps 2 rare
+    # words sharing exactly one with each neighbor -> jaccard 1/3 < 0.8
+    assert jaccard_pairs(docs, max_df=3, threshold_pct=30).count() == 7
+    assert jaccard_pairs(docs, max_df=3, threshold_pct=80).count() == 0
+
+
 def test_mention_join_is_broadcast(spark):
     """Linking joins the mention stream against the tiny winners dim —
     must broadcast, never shuffle the stream."""
