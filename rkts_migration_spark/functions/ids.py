@@ -16,15 +16,19 @@ from pyspark.sql import functions as F
 from .. import vocab as V
 
 
-def pad_id_col(c: Column) -> Column:
-    """Zero-pad the first digit-run to 4 ("E12"->"E0012", "12a"->"0012a");
-    ids without digits pass through unchanged."""
+def pad_id_col(c: Column, width: int = 4) -> Column:
+    """Zero-pad the first digit-run to ``width`` ("E12"->"E0012",
+    "12a"->"0012a" at the default 4); ids without digits pass through
+    unchanged. width=19 covers the full non-negative int64 range for
+    internal order-safe encodings."""
     prefix = F.regexp_extract(c, r"^([^0-9]*)([0-9]+)(.*)$", 1)
     digits = F.regexp_extract(c, r"^([^0-9]*)([0-9]+)(.*)$", 2)
     suffix = F.regexp_extract(c, r"^([^0-9]*)([0-9]+)(.*)$", 3)
     # NB: lpad TRUNCATES beyond the target length; zfill semantics keep
     # longer digit runs intact, so guard on length.
-    padded = F.when(F.length(digits) >= 4, digits).otherwise(F.lpad(digits, 4, "0"))
+    padded = F.when(
+        F.length(digits) >= width, digits
+    ).otherwise(F.lpad(digits, width, "0"))
     return F.when(digits == "", c).otherwise(F.concat(prefix, padded, suffix))
 
 

@@ -324,13 +324,20 @@ def neardup_clusters(
 
     Returns (``id_col``, cluster_id, keep): one row per input doc,
     singletons cluster with themselves, ``keep`` marks the cluster
-    representative (min id — swap in first_wins on a quality column
-    upstream if representative choice should be quality-aware).
-    Dedup = ``.filter("keep")``.
+    representative (min id under the NUMERIC order of the first digit
+    run — swap in first_wins on a quality column upstream if
+    representative choice should be quality-aware). Dedup =
+    ``.filter("keep")``.
 
-    Ids must be min-orderable consistently with their string form
-    (zero-padded strings or non-negative fixed-width numerics): CC
-    labels travel as strings internally."""
+    CC labels travel as strings internally, so ids are zero-padded to
+    int64 width (pad_id_col, the cc.py convention) before components
+    run and mapped back after — callers need no ordering precondition
+    ('9' vs '10' resolves numerically)."""
+    from ..functions.ids import pad_id_col
+
+    def _pad(c):
+        return pad_id_col(c.cast("string"), width=19)
+
     ids = df.select(F.col(id_col)).distinct()
     buckets = minhash_band_buckets(
         df, text_col, id_col, k=k, bands=bands, shingle_n=shingle_n,
@@ -348,35 +355,54 @@ def neardup_clusters(
         cand = p if cand is None else cand.unionByName(p)
     cand = cand.distinct()
 
-    words = df.filter(F.length(text_col) > 0).select(
+    # Exact-Jaccard verify from POSTINGS, not arrays: joining full word
+    # arrays onto pairs replicates a hub document's entire array once
+    # per candidate pair (a doc in 10^3+ pairs ships 10^3 copies of a
+    # possibly-large array through one join, with whole-array rows
+    # concentrating in few tasks). Instead the candidate pairs join
+    # narrow (doc, word) postings — per-pair intersection counts come
+    # from a groupBy with map-side partials, every row is one word
+    # wide, and the shuffle spreads by (doc, word) hash. Same exact
+    # semantics: postings are distinct words per doc, so matching rows
+    # count |A ∩ B|; |A ∪ B| = |A| + |B| - |A ∩ B|.
+    postings = df.filter(F.length(text_col) > 0).select(
         F.col(id_col),
-        F.array_distinct(F.split(F.col(text_col), " ")).alias("_ws"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("_w"),
     )
-    wa = words.select(F.col(id_col).alias("doc_a"), F.col("_ws").alias("_wa"))
-    wb = words.select(F.col(id_col).alias("doc_b"), F.col("_ws").alias("_wb"))
-    inter = F.size(F.array_intersect("_wa", "_wb"))
-    union = F.size(F.array_union("_wa", "_wb"))
+    sizes = postings.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    pa = postings.select(F.col(id_col).alias("doc_a"), "_w")
+    pb = postings.select(F.col(id_col).alias("doc_b"), "_w")
+    inter = (
+        cand.join(pa, "doc_a")
+        .join(pb, ["doc_b", "_w"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("_n").alias("_nb"))
+    union = F.col("_na") + F.col("_nb") - F.col("_inter")
     edges = (
-        cand.join(wa, "doc_a").join(wb, "doc_b")
-        .filter(inter * 100 >= union * threshold_pct)
-        .select(F.col("doc_a").cast("string").alias("src"),
-                F.col("doc_b").cast("string").alias("dst"))
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(F.col("_inter") * 100 >= union * threshold_pct)
+        .select(_pad(F.col("doc_a")).alias("src"),
+                _pad(F.col("doc_b")).alias("dst"))
     )
 
     from .cc import connected_components
 
     comp = connected_components(edges)
+    idmap = ids.select(F.col(id_col), _pad(F.col(id_col)).alias("_pid"))
+    # padded representative label -> original id, for the map-back
+    reps = idmap.select(F.col("_pid").alias("component"),
+                        F.col(id_col).alias("_rep"))
     out = (
-        ids.join(
-            comp.select(F.col("node"), F.col("component")),
-            ids[id_col].cast("string") == F.col("node"), "left")
+        idmap.join(comp, idmap["_pid"] == comp["node"], "left")
+        .join(reps, "component", "left")
         .select(
             F.col(id_col),
-            F.coalesce(F.col("component"),
-                       F.col(id_col).cast("string")).alias("cluster_id"),
+            F.coalesce(F.col("_rep"), F.col(id_col)).alias("cluster_id"),
         )
     )
-    # the CC component label IS the min member id, so the
+    # the CC component label IS the (padded) min member id, so the
     # representative test is a row-local comparison — no extra shuffle
-    return out.withColumn(
-        "keep", F.col(id_col).cast("string") == F.col("cluster_id"))
+    return out.withColumn("keep", F.col(id_col) == F.col("cluster_id"))

@@ -142,12 +142,33 @@ def sample_video_frames(
     one narrow row per SAMPLED frame — the downstream shape for
     per-frame feature extraction / dedup at 100 TB.
 
-    Real decode (PyAV container demux, keyframe-aligned) is stubbed
-    behind DecodeUnavailable when the codec lib is absent; the
-    deterministic fake treats the payload as a sequence of
-    ``frame_bytes``-sized records. Both paths share the schema and
-    batch contract, so swapping them never changes the plan."""
+    Real decode (``use_real_decode=True``) demuxes the payload with
+    PyAV — every ``every_n``-th decoded frame is emitted as grayscale
+    pixel bytes (frame_idx = decode-order index, so sampling stays
+    aligned across GOP boundaries regardless of keyframe placement);
+    DecodeUnavailable when the codec lib is absent. The deterministic
+    fake treats the payload as a sequence of ``frame_bytes``-sized
+    records. Both paths share the schema and batch contract, so
+    swapping them never changes the plan."""
     src = media.filter(F.col("kind") == "video").select("media_id", "payload")
+
+    def real_frames(b: bytes) -> list[tuple[int, bytes]]:
+        """(frame_idx, gray8 bytes) for every every_n-th decoded frame
+        via PyAV container demux over the first video stream."""
+        import io
+
+        out: list[tuple[int, bytes]] = []
+        with _pyav.open(io.BytesIO(b)) as container:
+            stream = container.streams.video[0]
+            stream.thread_type = "AUTO"
+            fi = 0
+            for frame in container.decode(stream):
+                if fi % every_n == 0:
+                    out.append(
+                        (fi, frame.to_ndarray(format="gray").tobytes())
+                    )
+                fi += 1
+        return out
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -163,7 +184,13 @@ def sample_video_frames(
                             "this container; install av and this path "
                             "activates with the same output schema"
                         )
-                    raise DecodeUnavailable("real decode not wired yet")
+                    for fi, fb in real_frames(b):
+                        ids.append(int(media_id))
+                        idxs.append(fi)
+                        sizes.append(len(fb))
+                        shas.append(
+                            hashlib.sha256(fb).hexdigest()[:16])
+                    continue
                 frames = [
                     b[o: o + frame_bytes]
                     for o in range(0, len(b), frame_bytes)

@@ -156,10 +156,64 @@ def lsh_topk_multitable(
     )
 
 
+def kmeans_centroids(
+    base: DataFrame, n_cells: int = 16, sample_n: int = 2048,
+    n_iter: int = 10, seed: int = 42,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Spherical k-means centroids from a bounded deterministic sample:
+    the base is ranked by xxhash64(id, seed) and the top ``sample_n``
+    rows collected (distributed TakeOrdered — a top-k, never a full
+    sort or full collect), then Lloyd runs on the driver with numpy
+    (farthest-point init from the hash order, assignments by cosine).
+    Driver cost is O(sample_n * n_cells * dim) — independent of base
+    size, so the pass is 100-TB-safe; the result is a plain Python
+    list that folds into ivf_topk's literal quantizer expression."""
+    import numpy as np
+
+    rows = (
+        base.select(
+            F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    X = X[norms > 0] / norms[norms > 0, None]
+    n_cells = min(n_cells, len(X))
+
+    # farthest-point init: deterministic, spreads seeds across clusters
+    idx = [0]
+    for _ in range(1, n_cells):
+        sims = np.max(X @ X[idx].T, axis=1)
+        sims[idx] = np.inf
+        idx.append(int(np.argmin(sims)))
+    C = X[idx].copy()
+
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        newC = C.copy()
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    newC[c] = m / n
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return [list(map(float, c)) for c in C]
+
+
 def ivf_topk(
     queries: DataFrame, base: DataFrame, k: int = 5,
     n_cells: int = 16, n_probe: int = 4,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a coarse quantizer assigns every base
     vector to its nearest centroid cell ONCE; each query probes its
@@ -168,17 +222,21 @@ def ivf_topk(
     rows) — collected to the driver and folded into a literal argmax
     expression, the same broadcast-small-dim pattern as the gazetteer;
     the big side is touched by exactly one narrow assignment pass plus
-    the bucket join. Centroids here are a deterministic sample of the
-    base (first n_cells by id) — at production scale they come from a
-    k-means sample pass, same plumbing.
+    the bucket join. Pass ``centroids=kmeans_centroids(base, ...)``
+    for the production quantizer (bounded-sample Lloyd pass, same
+    plumbing); the default falls back to a deterministic demo
+    quantizer (first n_cells vectors by id).
 
     Recall/cost dial: n_probe = n_cells degenerates to exact search;
     n_probe=1 is fastest/lowest-recall."""
-    cent_rows = (
-        base.orderBy(id_col).limit(n_cells)
-        .select(F.col(vec_col).alias("c")).collect()
-    )
-    centroids = [list(r["c"]) for r in cent_rows]
+    if centroids is None:
+        cent_rows = (
+            base.orderBy(id_col).limit(n_cells)
+            .select(F.col(vec_col).alias("c")).collect()
+        )
+        centroids = [list(r["c"]) for r in cent_rows]
+    else:
+        n_cells = len(centroids)
     import math
 
     inv_norms = [

@@ -360,6 +360,72 @@ def test_ivf_topk_recall_and_probe_dial(spark):
     assert len(more & truth) / len(truth) >= 0.5
 
 
+def test_ivf_kmeans_centroids_beat_demo_quantizer(spark):
+    """Production quantizer: on a clustered fixture whose FIRST n ids
+    all sit in one cluster (the demo first-n-by-id quantizer's worst
+    case — every cell covers the same region), the bounded-sample
+    Lloyd pass spreads centroids across the real clusters, so
+    recall@k at n_probe=1 strictly improves."""
+    import math
+
+    from rkts_migration_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    # 3 well-separated clusters in 8-dim (dims 0/1/2), ids 0..59 /
+    # 60..119 / 120..179. The first three ids are adversarial for the
+    # first-n-by-id quantizer: ids 0 and 1 differ ONLY in the sign of
+    # dim 4, so every cluster-1/2 member's cell is decided by its tiny
+    # dim-4 parity component — which is deliberately too small to
+    # affect cosine RANKING (jitter dims 5-7 dominate, and the jitter
+    # period 11 is odd so i and i+11 share jitter but flip parity).
+    # True top-5 neighbors therefore mix parities and scatter across
+    # demo cells: n_probe=1 misses ~1/3 of them (validated 0.667).
+    def member(cluster, i):
+        v = [0.0] * 8
+        v[cluster] = 1.0
+        v[4] = 0.01 if i % 2 == 0 else -0.01
+        for d in (5, 6, 7):
+            v[d] = 0.3 * ((((i * 3 + d * 5) % 11) - 5) / 5.0)
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    def special(which):
+        v = [0.0] * 8
+        if which == 2:
+            v[0] = 1.0
+        else:
+            v[0] = v[1] = v[2] = 0.5
+            v[4] = 0.7 if which == 0 else -0.7
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = [
+        (c * 60 + i,
+         special(c * 60 + i) if c * 60 + i < 3 else member(c, i))
+        for c in range(3) for i in range(60)
+    ]
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = base.filter(F.col("vec_id") % 30 == 7)  # 2 per cluster
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    truth = pairs(cosine_topk(queries, base, k=5))
+    demo = pairs(ivf_topk(queries, base, k=5, n_cells=3, n_probe=1))
+    cents = kmeans_centroids(base, n_cells=3, sample_n=180, seed=42)
+    assert len(cents) == 3
+    km = pairs(ivf_topk(queries, base, k=5, n_probe=1, centroids=cents))
+    # demo centroids all come from cluster 0 -> clusters collapse into
+    # few cells; k-means separates them -> exact recall at n_probe=1
+    assert len(km & truth) > len(demo & truth)
+    assert len(km & truth) == len(truth)
+    # determinism: same seed -> same centroids
+    assert cents == kmeans_centroids(base, n_cells=3, sample_n=180, seed=42)
+
+
 def test_stream_exact_dedup_across_microbatches(spark, tmpdir_ckpt):
     """dropDuplicatesWithinWatermark keyed on the content sha: a
     re-delivered identical document in a LATER micro-batch is dropped;
@@ -425,6 +491,49 @@ def test_sample_video_frames(spark):
     got = [r for r in out if r["media_id"] == row["media_id"]
            and r["frame_idx"] == 0]
     assert got and got[0]["sha"] == want and got[0]["n_bytes"] == 32
+
+
+def test_sample_video_frames_real_decode(spark):
+    """Real-decode path: with PyAV present, a genuine encoded video
+    payload demuxes into gray8 frames sampled at every_n in decode
+    order; without PyAV the path raises DecodeUnavailable honestly
+    (no dead 'not wired' stub either way)."""
+    from rkts_migration_spark.operators import multimodal as M
+
+    if M._pyav is None:
+        media = M.synthetic_media(spark, n=3)
+        with pytest.raises(Exception) as ei:
+            M.sample_video_frames(media, use_real_decode=True).collect()
+        assert "requires PyAV" in str(ei.value)
+        return
+
+    # PyAV available: encode a deterministic 8-frame 16x16 video
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with M._pyav.open(buf, mode="w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=4)
+        stream.width, stream.height = 16, 16
+        stream.pix_fmt = "yuv420p"
+        for i in range(8):
+            arr = np.full((16, 16, 3), i * 16, dtype=np.uint8)
+            frame = M._pyav.VideoFrame.from_ndarray(arr, format="rgb24")
+            for pkt in stream.encode(frame):
+                container.mux(pkt)
+        for pkt in stream.encode():
+            container.mux(pkt)
+    payload = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(payload), None)], M.MEDIA_SCHEMA
+    )
+    out = (
+        M.sample_video_frames(media, every_n=3, use_real_decode=True)
+        .orderBy("frame_idx").collect()
+    )
+    assert [r["frame_idx"] for r in out] == [0, 3, 6]
+    assert all(r["n_bytes"] == 16 * 16 for r in out)  # gray8 pixels
 
 
 def test_bpe_token_count_edges(spark):

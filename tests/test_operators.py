@@ -304,3 +304,44 @@ def test_neardup_clusters_end_to_end(spark):
     assert rows["d008"] == ("d008", True)
     kept = sorted(r["doc_id"] for r in out.filter("keep").collect())
     assert kept == ["d001", "d005", "d007", "d008"]
+
+
+def test_neardup_clusters_hub_doc_stress(spark):
+    """Planted hub: 1,100 identical documents form one LSH clique, so
+    every doc sits in 1,099 candidate pairs (~604k pairs total). The
+    postings-based verify must handle this without replicating any
+    doc's full word array per pair — rows stay one word wide and the
+    per-pair intersection comes from a partially-aggregating groupBy.
+    All docs must land in one cluster with the numeric-min
+    representative kept."""
+    from rkts_migration_spark.operators.dedup import neardup_clusters
+
+    n = 1100
+    text = "alpha beta gamma delta epsilon zeta"
+    docs = [(i, text) for i in range(n)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = neardup_clusters(df, k=16, bands=16, shingle_n=1,
+                           threshold_pct=80)
+    agg = out.groupBy("cluster_id").count().collect()
+    assert len(agg) == 1 and agg[0]["count"] == n
+    assert agg[0]["cluster_id"] == 0
+    kept = out.filter("keep").collect()
+    assert len(kept) == 1 and kept[0]["doc_id"] == 0
+
+
+def test_neardup_clusters_numeric_ids(spark):
+    """Plain numeric ids need no caller-side ordering precondition:
+    the representative of a {9, 10} cluster is 9 (numeric min), not
+    '10' (string min) — ids are zero-padded internally (the cc.py
+    pad_id_col convention) and mapped back."""
+    from rkts_migration_spark.operators.dedup import neardup_clusters
+
+    text = " ".join(f"w{i}" for i in range(1, 11))
+    docs = [(9, text), (10, text), (3, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = neardup_clusters(df, k=16, bands=16, shingle_n=1,
+                           threshold_pct=80)
+    rows = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in out.collect()}
+    assert rows[9] == (9, True)
+    assert rows[10] == (9, False)
+    assert rows[3] == (3, True)

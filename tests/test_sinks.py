@@ -83,3 +83,54 @@ def test_xml_outline_sink(spark, tmp_path):
     assert escape("b <&> c") in raw and raw.endswith("</outline>")
     t_items = ET.parse(paths["T"]).getroot().findall("item")
     assert [i.find("tib").text for i in t_items] == ['quote " stays']
+
+
+def test_xml_sink_newlines_nulls_escaped_partitions(spark, tmp_path):
+    """Round 3 hardening: (a) embedded \\n/\\r in text content survive
+    the line-oriented fragment write as character references and parse
+    back byte-identical; (b) nullable fields render through xml_opt_tag
+    as omitted tags (reference omits tags for null fields), while a
+    null FRAGMENT fails loud; (c) partition-dir percent-escaping of
+    the collection value ('=' -> %3D) is undone in the returned keys."""
+    import xml.etree.ElementTree as ET
+
+    from pyspark.errors import SparkRuntimeException
+
+    from rkts_migration_spark.functions.text import xml_escape_col
+    from rkts_migration_spark.sources.xml_sink import (
+        write_xml_outline,
+        xml_opt_tag,
+    )
+
+    rows = [
+        ("K=1", 1, "K0001", "line1\nline2\r\nline3"),
+        ("K=1", 2, "K0002", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "coll string, ord int, rkts string, tib string"
+    )
+    item = F.concat(
+        F.lit("<item>"),
+        xml_opt_tag("rkts", xml_escape_col(F.col("rkts"))),
+        xml_opt_tag("tib", xml_escape_col(F.col("tib"))),
+        F.lit("</item>"),
+    )
+    out = str(tmp_path / "xml_nl")
+    paths = write_xml_outline(df, "coll", item, ["ord"], out)
+    assert set(paths) == {"K=1"}
+    items = ET.parse(paths["K=1"]).getroot().findall("item")
+    assert items[0].find("tib").text == "line1\nline2\r\nline3"
+    assert items[1].find("tib") is None  # null field -> tag omitted
+    assert items[1].find("rkts").text == "K0002"
+
+    # a null fragment (concat over a null without xml_opt_tag) must
+    # fail loud, not silently corrupt the export
+    bad = F.concat(
+        F.lit("<item><tib>"), F.col("tib"), F.lit("</tib></item>")
+    )
+    import pytest
+
+    with pytest.raises(SparkRuntimeException, match="null fragment"):
+        write_xml_outline(
+            df, "coll", bad, ["ord"], str(tmp_path / "xml_bad")
+        )
