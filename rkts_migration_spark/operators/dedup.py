@@ -308,6 +308,69 @@ def jaccard_pairs(
         words, id_col=id_col, threshold_pct=threshold_pct, max_df=max_df)
 
 
+def neardup_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 128, bands: int = 16, shingle_n: int = 5,
+    use_xxhash: bool = True,
+) -> DataFrame:
+    """LSH candidate pairs (doc_a < doc_b): MinHash band buckets, one
+    narrow bucket equi-join per band, deduped across bands. Never a
+    doc x doc join — the shuffle carries (id, bucket) rows."""
+    buckets = minhash_band_buckets(
+        df, text_col, id_col, k=k, bands=bands, shingle_n=shingle_n,
+        use_xxhash=use_xxhash,
+    )
+    cand = None
+    for b in range(bands):
+        a_side = buckets.select(F.col(id_col).alias("doc_a"),
+                                F.col(f"b{b}").alias("_bk"))
+        b_side = buckets.select(F.col(id_col).alias("doc_b"),
+                                F.col(f"b{b}").alias("_bk"))
+        p = (a_side.join(b_side, "_bk")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b"))
+        cand = p if cand is None else cand.unionByName(p)
+    return cand.distinct()
+
+
+def neardup_verified_edges(
+    df: DataFrame, cand: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", threshold_pct: int = 80,
+) -> DataFrame:
+    """Exact word-set-Jaccard verification of candidate pairs, from
+    POSTINGS rather than arrays: joining full word arrays onto pairs
+    replicates a hub document's entire array once per candidate pair
+    (a doc in 10^3+ pairs ships 10^3 copies of a possibly-large array
+    through one join, with whole-array rows concentrating in few
+    tasks). Instead the candidate pairs join narrow (doc, word)
+    postings — per-pair intersection counts come from a groupBy with
+    map-side partials, every row is one word wide, and the shuffle
+    spreads by (doc, word) hash. Same exact semantics: postings are
+    distinct words per doc, so matching rows count |A ∩ B|;
+    |A ∪ B| = |A| + |B| - |A ∩ B|. Returns surviving (doc_a, doc_b)."""
+    postings = df.filter(F.length(text_col) > 0).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("_w"),
+    )
+    sizes = postings.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    pa = postings.select(F.col(id_col).alias("doc_a"), "_w")
+    pb = postings.select(F.col(id_col).alias("doc_b"), "_w")
+    inter = (
+        cand.join(pa, "doc_a")
+        .join(pb, ["doc_b", "_w"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("_n").alias("_nb"))
+    union = F.col("_na") + F.col("_nb") - F.col("_inter")
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(F.col("_inter") * 100 >= union * threshold_pct)
+        .select("doc_a", "doc_b")
+    )
+
+
 def neardup_clusters(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 128, bands: int = 16, shingle_n: int = 5,
@@ -316,9 +379,9 @@ def neardup_clusters(
     """End-to-end near-duplicate clustering — the canonical corpus-
     dedup flow at 100 TB: MinHash-LSH band buckets propose candidate
     pairs (bucket equi-joins, never doc x doc), each candidate is
-    VERIFIED with exact word-set Jaccard (arrays joined in for
-    candidate docs only — the candidate set is LSH-bounded, so no
-    hot-token cap is needed on the verify), verified pairs become
+    VERIFIED with exact word-set Jaccard from narrow postings (the
+    candidate set is LSH-bounded, so no hot-token cap is needed on
+    the verify; see neardup_verified_edges), verified pairs become
     edges for pointer-doubling connected components (operators/cc.py),
     and every document lands in a cluster keyed by its min member id.
 
@@ -339,54 +402,14 @@ def neardup_clusters(
         return pad_id_col(c.cast("string"), width=19)
 
     ids = df.select(F.col(id_col)).distinct()
-    buckets = minhash_band_buckets(
+    cand = neardup_candidates(
         df, text_col, id_col, k=k, bands=bands, shingle_n=shingle_n,
         use_xxhash=use_xxhash,
     )
-    cand = None
-    for b in range(bands):
-        a_side = buckets.select(F.col(id_col).alias("doc_a"),
-                                F.col(f"b{b}").alias("_bk"))
-        b_side = buckets.select(F.col(id_col).alias("doc_b"),
-                                F.col(f"b{b}").alias("_bk"))
-        p = (a_side.join(b_side, "_bk")
-             .filter(F.col("doc_a") < F.col("doc_b"))
-             .select("doc_a", "doc_b"))
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.distinct()
-
-    # Exact-Jaccard verify from POSTINGS, not arrays: joining full word
-    # arrays onto pairs replicates a hub document's entire array once
-    # per candidate pair (a doc in 10^3+ pairs ships 10^3 copies of a
-    # possibly-large array through one join, with whole-array rows
-    # concentrating in few tasks). Instead the candidate pairs join
-    # narrow (doc, word) postings — per-pair intersection counts come
-    # from a groupBy with map-side partials, every row is one word
-    # wide, and the shuffle spreads by (doc, word) hash. Same exact
-    # semantics: postings are distinct words per doc, so matching rows
-    # count |A ∩ B|; |A ∪ B| = |A| + |B| - |A ∩ B|.
-    postings = df.filter(F.length(text_col) > 0).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("_w"),
-    )
-    sizes = postings.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    pa = postings.select(F.col(id_col).alias("doc_a"), "_w")
-    pb = postings.select(F.col(id_col).alias("doc_b"), "_w")
-    inter = (
-        cand.join(pa, "doc_a")
-        .join(pb, ["doc_b", "_w"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("_n").alias("_na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("_n").alias("_nb"))
-    union = F.col("_na") + F.col("_nb") - F.col("_inter")
-    edges = (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .filter(F.col("_inter") * 100 >= union * threshold_pct)
-        .select(_pad(F.col("doc_a")).alias("src"),
-                _pad(F.col("doc_b")).alias("dst"))
-    )
+    edges = neardup_verified_edges(
+        df, cand, text_col, id_col, threshold_pct=threshold_pct,
+    ).select(_pad(F.col("doc_a")).alias("src"),
+             _pad(F.col("doc_b")).alias("dst"))
 
     from .cc import connected_components
 
