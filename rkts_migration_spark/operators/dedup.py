@@ -234,6 +234,7 @@ def simhash(
 def jaccard_pairs_from_postings(
     postings: DataFrame, id_col: str = "doc_id", token_col: str = "w",
     threshold_pct: int = 80, max_df: int | None = 1000,
+    cache: bool = True,
 ) -> DataFrame:
     """(id, token) postings -> (doc_a, doc_b, jaccard >= threshold) via
     the inverted-index self-join: shuffle carries postings, pair counts
@@ -261,7 +262,19 @@ def jaccard_pairs_from_postings(
     postings at all. The heavy-hitter list is bounded by
     |postings| / max_df distinct tokens (each needs > max_df rows),
     so at max_df=1000 it is 1000x smaller than the corpus —
-    broadcast-sized by construction."""
+    broadcast-sized by construction.
+
+    ``cache``: the (guarded) postings feed THREE consumers — both
+    sides of the self-join and the per-doc size aggregation — and
+    Spark performs no common-subexpression reuse across a DataFrame
+    DAG (measured: 8 source scans + 4 rebuilds of the identical hot
+    list in the uncached final plan, zero ReusedExchange). With
+    ``cache=True`` (default) the guarded postings persist
+    memory-and-disk (the pipeline.py stage-cache convention), so the
+    source is scanned once and the anti join runs once; at 100 TB
+    this disk-backed materialization is the same stage-table pattern
+    a production dedup run uses. Pass ``cache=False`` to keep the
+    plan fully recomputed (e.g. when the caller already persists)."""
     if max_df is not None:
         hot = (
             postings.groupBy(token_col)
@@ -270,6 +283,8 @@ def jaccard_pairs_from_postings(
             .select(token_col)
         )
         postings = postings.join(F.broadcast(hot), token_col, "left_anti")
+    if cache:
+        postings = postings.persist()
     sizes = postings.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_words"))
     a, b = postings.alias("a"), postings.alias("b")
     inter = (
@@ -297,15 +312,18 @@ def jaccard_pairs_from_postings(
 def jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     threshold_pct: int = 80, max_df: int | None = 1000,
+    cache: bool = True,
 ) -> DataFrame:
     """Word-set Jaccard >= threshold over distinct-word postings; see
-    jaccard_pairs_from_postings for the max_df hot-token guard."""
+    jaccard_pairs_from_postings for the max_df hot-token guard and
+    the ``cache`` postings-reuse knob."""
     words = df.filter(F.length(text_col) > 0).select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
     )
     return jaccard_pairs_from_postings(
-        words, id_col=id_col, threshold_pct=threshold_pct, max_df=max_df)
+        words, id_col=id_col, threshold_pct=threshold_pct, max_df=max_df,
+        cache=cache)
 
 
 def neardup_candidates(
@@ -336,6 +354,7 @@ def neardup_candidates(
 def neardup_verified_edges(
     df: DataFrame, cand: DataFrame, text_col: str = "text",
     id_col: str = "doc_id", threshold_pct: int = 80,
+    cache: bool = True,
 ) -> DataFrame:
     """Exact word-set-Jaccard verification of candidate pairs, from
     POSTINGS rather than arrays: joining full word arrays onto pairs
@@ -347,11 +366,18 @@ def neardup_verified_edges(
     map-side partials, every row is one word wide, and the shuffle
     spreads by (doc, word) hash. Same exact semantics: postings are
     distinct words per doc, so matching rows count |A ∩ B|;
-    |A ∪ B| = |A| + |B| - |A ∩ B|. Returns surviving (doc_a, doc_b)."""
+    |A ∪ B| = |A| + |B| - |A ∩ B|. Returns surviving (doc_a, doc_b).
+
+    ``cache`` persists the postings (memory-and-disk), which feed
+    three consumers (both sides of the pair join + the size agg) and
+    would otherwise be re-derived from the source per consumer — see
+    jaccard_pairs_from_postings for the measured no-reuse behavior."""
     postings = df.filter(F.length(text_col) > 0).select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("_w"),
     )
+    if cache:
+        postings = postings.persist()
     sizes = postings.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     pa = postings.select(F.col(id_col).alias("doc_a"), "_w")
     pb = postings.select(F.col(id_col).alias("doc_b"), "_w")
