@@ -329,15 +329,25 @@ def jaccard_pairs(
 def neardup_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 128, bands: int = 16, shingle_n: int = 5,
-    use_xxhash: bool = True,
+    use_xxhash: bool = True, cache: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b): MinHash band buckets, one
     narrow bucket equi-join per band, deduped across bands. Never a
-    doc x doc join — the shuffle carries (id, bucket) rows."""
+    doc x doc join — the shuffle carries (id, bucket) rows.
+
+    ``cache`` persists the band-bucket table (memory-and-disk): it is
+    referenced on BOTH sides of every per-band join (2 x bands
+    references), and without the persist each reference re-derives
+    the full shingle + k-hash signature aggregation from the source
+    (Spark has no cross-DAG subtree reuse) — at k=128/bands=16 that
+    is 32 signature recomputations for one candidate pass. The
+    cached table is narrow: one row per doc, bands bucket hashes."""
     buckets = minhash_band_buckets(
         df, text_col, id_col, k=k, bands=bands, shingle_n=shingle_n,
         use_xxhash=use_xxhash,
     )
+    if cache:
+        buckets = buckets.persist()
     cand = None
     for b in range(bands):
         a_side = buckets.select(F.col(id_col).alias("doc_a"),

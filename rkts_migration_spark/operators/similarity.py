@@ -106,6 +106,7 @@ def lsh_topk_multitable(
     queries: DataFrame, base: DataFrame, dim: int, k: int = 5,
     n_planes: int = 8, n_tables: int = 4,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    cache: bool = True,
 ) -> DataFrame:
     """Multi-table LSH ANN: L independent hash tables (per-table plane
     seeds), candidates = union of same-bucket pairs across tables,
@@ -113,13 +114,22 @@ def lsh_topk_multitable(
     ~ 1-(1-p^b)^L grows with L at constant per-table selectivity — the
     production-recall configuration the single-table variant can't
     reach. Cost: L bucket equi-joins over narrow (id, bucket) tables;
-    vectors join back in only once, post-dedup — never a cross join."""
+    vectors join back in only once, post-dedup — never a cross join.
+
+    ``cache`` persists the projected (id, quantized, raw) tables:
+    each side is referenced by all L per-table bucketings (different
+    plane seeds — genuine per-table work) plus the final scoring
+    join, and without the persist every reference re-scans and
+    re-quantizes the source (no cross-DAG subtree reuse in Spark)."""
     qv = queries.select(
         F.col(id_col).alias("query_id"),
         _quantized(F.col(vec_col)).alias("qv"), F.col(vec_col).alias("_qraw"))
     bv = base.select(
         F.col(id_col).alias("neighbor_id"),
         _quantized(F.col(vec_col)).alias("bv"), F.col(vec_col).alias("_braw"))
+    if cache:
+        qv = qv.persist()
+        bv = bv.persist()
     cand = None
     for t in range(n_tables):
         qb = lsh_bucket(
