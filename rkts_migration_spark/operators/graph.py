@@ -1,0 +1,205 @@
+"""Graph post-processing over the materialized KG: degree statistics,
+bounded-hop neighborhoods, and a deterministic fixed-point PageRank.
+
+The reference stops at emitting triples — downstream consumers (the
+BDRC editor UI, SPARQL endpoints) do the graph math. A production KG
+pipeline at 100 TB needs these as *distributed* post-passes over the
+triple tables themselves, so they're first-class operators here, each
+expressed as plain DataFrame joins/aggregations (no GraphX/GraphFrames
+dependency — none ships with pyspark, and these shapes don't need it).
+
+Scale notes (SCALE.md "graph post-passes"):
+
+* ``degree_stats`` is two hash aggregations with map-side partials —
+  a hot node (a hub entity mentioned in 10^9 turns) contributes one
+  partial row per input split, never a colocated posting list.
+* ``k_hop`` joins a (small) frontier against the edge table per hop;
+  the frontier is broadcast when it fits, and ``localCheckpoint``
+  truncates plan growth exactly like operators/cc.py. Hop count is a
+  caller constant, so the plan is bounded.
+* ``pagerank_fixed_point`` works entirely in BIGINT micro-units
+  (rank scaled by 1e12, damping as the rational 17/20, contributions
+  via integer division). Floating-point PageRank is NOT reproducible
+  on a cluster — double summation order changes with partitioning, so
+  the same job at N and 4N executors drifts in the last ulps and a
+  value-hash comparison fails. Integer sums are associative and
+  commutative *exactly*, so ranks are bit-identical at every
+  parallelism level AND in the DuckDB oracle. The lost-remainder mass
+  from each integer division is bounded by out_degree ulps per node
+  per iteration (< 1e-12 of total mass) and is part of the operator's
+  defined semantics, mirrored exactly by the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12  # rank micro-units: 1.0 == 10^12
+PR_DAMP_NUM = 17  # damping 0.85 as an exact rational 17/20
+PR_DAMP_DEN = 20
+
+
+def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected view of a directed edge list: union of both
+    directions, distinct. One shuffle; reused by k_hop/pagerank."""
+    return (
+        edges.selectExpr(f"{src} as a", f"{dst} as b")
+        .unionByName(edges.selectExpr(f"{dst} as a", f"{src} as b"))
+        .distinct()
+    )
+
+
+def degree_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, out_deg, in_deg) over a directed edge list.
+
+    Built as one union -> one groupBy so Spark computes both degrees
+    in a single shuffle with map-side partial aggregation (a window
+    over node would colocate a hub's full edge list; this never does).
+    """
+    tagged = edges.select(
+        F.col(src).alias("node"), F.lit(1).alias("o"), F.lit(0).alias("i")
+    ).unionByName(
+        edges.select(F.col(dst).alias("node"), F.lit(0).alias("o"), F.lit(1).alias("i"))
+    )
+    return tagged.groupBy("node").agg(
+        F.sum("o").alias("out_deg"), F.sum("i").alias("in_deg")
+    )
+
+
+def k_hop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    directed: bool = False,
+) -> DataFrame:
+    """BFS to depth ``k``: (node, hop) with hop = minimum distance
+    from any seed (seeds themselves at hop 0).
+
+    Per hop: frontier ⋈ edges -> next frontier, minus already-visited
+    (left-anti). The visited set is localCheckpoint-ed each hop so the
+    plan stays O(1) in k; on a real cluster the frontier side of the
+    join is typically broadcast-sized for entity-neighborhood queries
+    (AQE decides from runtime stats — no hint needed, and a hint would
+    be wrong for dense frontiers).
+    """
+    sym = edges if directed else symmetrize(edges, src, dst)
+    if directed:
+        sym = sym.selectExpr(f"{src} as a", f"{dst} as b")
+    sym = sym.localCheckpoint()
+
+    visited = seeds.select(F.col(node_col).alias("node")).distinct().withColumn(
+        "hop", F.lit(0)
+    ).localCheckpoint()
+    frontier = visited.select("node")
+
+    for depth in range(1, k + 1):
+        nxt = (
+            sym.join(frontier, sym.a == frontier.node, "inner")
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(depth))
+        )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+        if frontier.isEmpty():
+            break
+    return visited
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """(node, rank_u) after ``iterations`` power steps, rank_u in
+    BIGINT micro-units (PR_SCALE == 1.0 of probability mass).
+
+    Update rule, all-integer (DIV = floor division, exact in any
+    engine and at any parallelism):
+
+        contrib(v)  = sum over in-neighbors u of (rank_u(u) DIV deg(u))
+        rank_u'(v)  = ((PR_DAMP_DEN - PR_DAMP_NUM) * (PR_SCALE DIV N))
+                        DIV PR_DAMP_DEN
+                      + (PR_DAMP_NUM * contrib(v)) DIV PR_DAMP_DEN
+
+    With ``directed=False`` (default) the graph is symmetrized, so
+    every node has deg >= 1 and no dangling-mass term is needed; with
+    ``directed=True`` dangling nodes simply leak their mass (the
+    documented simplified variant). Overflow-safe: total mass <=
+    PR_SCALE = 1e12, so 17 * contrib < 2e13 << int64 max.
+    """
+    sym = edges.selectExpr(f"{src} as a", f"{dst} as b")
+    if not directed:
+        sym = symmetrize(edges, src, dst)
+    sym = sym.localCheckpoint()
+
+    nodes = (
+        sym.select(F.col("a").alias("node"))
+        .unionByName(sym.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    init_u = PR_SCALE // n_nodes
+    base_u = (PR_DAMP_DEN - PR_DAMP_NUM) * init_u // PR_DAMP_DEN
+
+    deg = sym.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("deg"))
+    # ranks and degrees live on the same (node-count-sized) table; the
+    # join keys are identical every iteration so AQE reuses the
+    # exchange across steps.
+    ranks = nodes.withColumn("rank_u", F.lit(init_u).cast("long"))
+
+    for _ in range(iterations):
+        contrib = (
+            sym.join(ranks, sym.a == ranks.node, "inner")
+            .join(deg.withColumnRenamed("node", "dn"), F.col("a") == F.col("dn"))
+            .select(
+                F.col("b").alias("node"),
+                F.expr("rank_u DIV deg").alias("share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base_u)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(contrib, 0L)) DIV {PR_DAMP_DEN}"
+                    )
+                ).cast("long").alias("rank_u"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def merge_triples(
+    existing: DataFrame, incoming: DataFrame, cols=("subj", "pred", "obj")
+) -> DataFrame:
+    """Incremental-ingest delta: the incoming triples NOT already in
+    the existing store (set semantics on (subj, pred, obj)).
+
+    This is the batch-merge primitive for continuous KG construction:
+    each new transcript partition is built into candidate triples, and
+    only the delta is appended to the triple table (an idempotent
+    re-run of a processed batch appends nothing). One shuffle
+    (left-anti hash join on the full key); at 100 TB the existing side
+    is the big one, which is exactly the side a shuffled anti-join
+    streams — never broadcast, never collected.
+    """
+    cols = list(cols)
+    return incoming.select(cols).distinct().join(
+        existing.select(cols), on=cols, how="left_anti"
+    )

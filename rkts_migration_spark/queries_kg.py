@@ -455,3 +455,177 @@ def q_kg_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables["gazetteer"] = tables["gazetteer"].filter(
         ~F.trim(F.col("surface")).contains(" "))
     return build_triples_inmem(spark, tables)
+
+
+# =====================================================================
+# Graph post-processing over the materialized KG (operators/graph.py):
+# degree stats, k-hop neighborhoods, deterministic fixed-point
+# PageRank, and the incremental batch-merge delta. Edges are the
+# distinct (conversation IRI, entity IRI) mention pairs from the
+# single-token pipeline, so the whole derivation is SQL-mirrorable.
+# =====================================================================
+
+_EDGES_SQL = f"""
+edges AS (
+  SELECT DISTINCT '{V.CONV}' || conv_id AS src, iri AS dst FROM m)
+"""
+
+
+def _kg_mention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct conv->entity mention edges through the real stages;
+    distinct runs on narrow native keys before IRI rendering (same
+    rationale as materialize.mention_triples)."""
+    from pyspark.sql import functions as F
+
+    linked, iri_map = _kg_linked_1tok(spark, sf_dir)
+    keys = linked.select("conv_id", "canon_id").distinct()
+    return keys.join(F.broadcast(iri_map), "canon_id").select(
+        F.concat(F.lit(V.CONV), F.col("conv_id")).alias("src"),
+        F.col("entity_iri").alias("dst"),
+    )
+
+
+@register("q_kg_degree", f"""
+WITH {_DIM_SQL},
+{_WORDS_SQL},
+{_EDGES_SQL},
+tagged AS (
+  SELECT src AS node, 1 AS o, 0 AS i FROM edges
+  UNION ALL
+  SELECT dst AS node, 0 AS o, 1 AS i FROM edges)
+SELECT node, CAST(SUM(o) AS BIGINT) AS out_deg, CAST(SUM(i) AS BIGINT) AS in_deg
+FROM tagged GROUP BY node
+""")
+def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node in/out degree over the mention graph — one union +
+    one partially-aggregating groupBy (hub-safe; operators/graph.py)."""
+    from .operators.graph import degree_stats
+
+    return degree_stats(_kg_mention_edges(spark, sf_dir))
+
+
+_KHOP_VISITED = "SELECT node FROM h0 UNION ALL SELECT node FROM h1"
+
+
+@register("q_kg_khop", f"""
+WITH {_DIM_SQL},
+{_WORDS_SQL},
+{_EDGES_SQL},
+sym AS (SELECT src AS a, dst AS b FROM edges
+        UNION SELECT dst, src FROM edges),
+h0 AS (SELECT MIN(dst) AS node, 0 AS hop FROM edges),
+h1 AS (SELECT DISTINCT b AS node, 1 AS hop FROM sym JOIN h0 ON sym.a = h0.node
+       WHERE b NOT IN (SELECT node FROM h0)),
+h2 AS (SELECT DISTINCT b AS node, 2 AS hop FROM sym JOIN h1 ON sym.a = h1.node
+       WHERE b NOT IN ({_KHOP_VISITED})),
+h3 AS (SELECT DISTINCT b AS node, 3 AS hop FROM sym JOIN h2 ON sym.a = h2.node
+       WHERE b NOT IN ({_KHOP_VISITED} UNION ALL SELECT node FROM h2))
+SELECT node, CAST(hop AS INTEGER) AS hop FROM (
+  SELECT * FROM h0 UNION ALL SELECT * FROM h1
+  UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3) u
+""")
+def q_kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS neighborhood of the lexicographic-min entity node
+    (undirected mention graph), hop = min distance."""
+    from pyspark.sql import functions as F
+
+    from .operators.graph import k_hop
+
+    edges = _kg_mention_edges(spark, sf_dir)
+    seeds = edges.agg(F.min("dst").alias("node"))
+    return k_hop(edges, seeds, k=3).select(
+        "node", F.col("hop").cast("int").alias("hop"))
+
+
+def _PR_ITER_SQL(prev: str, out: str) -> str:
+    """One exact-integer PageRank step (mirrors
+    operators/graph.pagerank_fixed_point; DIV == // for positives)."""
+    return f"""
+c{out} AS (
+  SELECT sym.b AS node, CAST(SUM({prev}.rank_u // deg.deg) AS BIGINT) AS contrib
+  FROM sym JOIN {prev} ON {prev}.node = sym.a JOIN deg ON deg.node = sym.a
+  GROUP BY sym.b),
+{out} AS (
+  SELECT nodes.node,
+         CAST((SELECT base FROM params)
+              + (17 * COALESCE(c{out}.contrib, 0)) // 20 AS BIGINT) AS rank_u
+  FROM nodes LEFT JOIN c{out} ON c{out}.node = nodes.node)"""
+
+
+@register("q_pagerank", f"""
+WITH {_DIM_SQL},
+{_WORDS_SQL},
+{_EDGES_SQL},
+sym AS (SELECT src AS a, dst AS b FROM edges
+        UNION SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+deg AS (SELECT a AS node, COUNT(*) AS deg FROM sym GROUP BY a),
+params AS (
+  SELECT n, init_u, ((20 - 17) * init_u) // 20 AS base FROM (
+    SELECT COUNT(*) AS n, 1000000000000 // COUNT(*) AS init_u FROM nodes) p),
+r0 AS (SELECT node, CAST((SELECT init_u FROM params) AS BIGINT) AS rank_u
+       FROM nodes),
+{_PR_ITER_SQL("r0", "r1")},
+{_PR_ITER_SQL("r1", "r2")},
+{_PR_ITER_SQL("r2", "r3")}
+SELECT node, rank_u FROM r3
+""")
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank in BIGINT micro-units over the undirected
+    mention graph. All-integer arithmetic (rank scaled 1e12, damping
+    17/20, floor division) makes ranks bit-identical at every
+    parallelism level and in the oracle — float PageRank would drift
+    with partition-dependent summation order and hash-mismatch."""
+    from .operators.graph import pagerank_fixed_point
+
+    return pagerank_fixed_point(_kg_mention_edges(spark, sf_dir), iterations=3)
+
+
+_BATCH_A = "substr(md5(conv_id), 1, 1) IN ('0','1','2','3','4','5','6','7')"
+
+
+def _TURN_TRIPLES_OVER(src_cte: str) -> str:
+    return f"""
+SELECT subj, pred, obj FROM (
+  SELECT printf('{V.CONV}%s/turn/%04d', conv_id, turn_idx) AS subj,
+         '{V.PRED_PART_OF}' AS pred, '{V.CONV}' || conv_id AS obj
+  FROM {src_cte}
+  UNION ALL
+  SELECT printf('{V.CONV}%s/turn/%04d', conv_id, turn_idx),
+         '{V.PRED_TURN_INDEX}',
+         '"' || CAST(turn_idx AS VARCHAR) || '"^^<{V.XSD_INT}>' FROM {src_cte}
+  UNION ALL
+  SELECT printf('{V.CONV}%s/turn/%04d', conv_id, turn_idx),
+         '{V.PRED_ROLE}', '"' || role || '"@en' FROM {src_cte}
+  UNION ALL
+  SELECT printf('{V.CONV}%s/turn/%04d', conv_id, turn_idx),
+         '{V.PRED_USED_TOOL}', '"' || tool || '"@en'
+  FROM {src_cte} WHERE tool IS NOT NULL
+  UNION ALL
+  SELECT printf('{V.CONV}%s/turn/%04d', conv_id, turn_idx),
+         '{V.PRED_TEXT}', '"' || {_ESCAPED.format(c="text")} || '"@en'
+  FROM {src_cte} WHERE text NOT IN ('', '-')
+) u"""
+
+
+@register("q_triples_merge", f"""
+WITH t AS ({_TR}),
+a AS (SELECT * FROM t WHERE {_BATCH_A})
+{_TURN_TRIPLES_OVER("t")}
+EXCEPT
+{_TURN_TRIPLES_OVER("a")}
+""")
+def q_triples_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest delta: rebuild candidate triples over the
+    full corpus, anti-join the already-committed batch (convs whose
+    md5 starts 0-7) — the batch-merge primitive for continuous KG
+    construction (operators/graph.merge_triples); idempotent on
+    re-delivered batches."""
+    from pyspark.sql import functions as F
+
+    from .operators.graph import merge_triples
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    batch_a = tr.filter(
+        F.substring(F.md5("conv_id"), 1, 1).isin(list("01234567")))
+    return merge_triples(turn_triples(batch_a), turn_triples(tr))

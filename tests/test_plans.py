@@ -89,3 +89,43 @@ def test_mention_join_is_broadcast(spark):
     mentions = extract_mentions(tables["transcripts"], tables["gazetteer"])
     linked = link_mentions(mentions, tables["gazetteer"])
     assert has_broadcast_join(linked)
+
+
+def test_degree_stats_partial_agg_no_window(spark):
+    """Degree counting must be a partially-aggregating groupBy, never a
+    window: a hub node's edge list stays distributed across splits."""
+    from rkts_migration_spark.operators.graph import degree_stats
+
+    edges = spark.createDataFrame(
+        [("h", f"l{i}") for i in range(6)], "src string, dst string")
+    plan = physical_plan(degree_stats(edges))
+    assert "Window" not in plan, plan
+    assert "partial_sum" in plan or "HashAggregate" in plan, plan
+
+
+def test_merge_triples_is_anti_join_no_broadcast_of_existing(spark):
+    """The existing triple store (the 100-TB side) must reach the
+    anti-join shuffled, never broadcast or collected."""
+    from rkts_migration_spark.operators.graph import merge_triples
+
+    schema = "subj string, pred string, obj string"
+    existing = spark.range(0, 10_000).selectExpr(
+        "cast(id as string) subj", "'p' pred", "'o' obj")
+    incoming = spark.createDataFrame([("x", "p", "o")], schema)
+    plan = physical_plan(merge_triples(existing, incoming))
+    assert "LeftAnti" in plan, plan
+    # At THIS scale Catalyst may broadcast existing (10k rows is under
+    # the threshold — correct). The 100-TB property is the degradation:
+    # when existing exceeds the broadcast threshold, the plan must be a
+    # shuffled anti-join, never a collect or a nested-loop. Simulate
+    # over-threshold stats by disabling auto-broadcast.
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big_plan = physical_plan(merge_triples(existing, incoming))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert "LeftAnti" in big_plan, big_plan
+    assert "BroadcastHashJoin" not in big_plan, big_plan
+    assert "NestedLoop" not in big_plan, big_plan
+    assert "SortMergeJoin" in big_plan or "ShuffledHashJoin" in big_plan, big_plan
