@@ -211,24 +211,6 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         n("O").alias("n_open"), n("F").alias("n_finished"), n("P").alias("n_partial"))
 
 
-@register("q_string_pivot", """
-SELECT n.n_name AS nation_name,
-       STRING_AGG(DISTINCT c.c_mktsegment, '/' ORDER BY c.c_mktsegment) AS segments
-FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-GROUP BY n.n_name
-""")
-def q_string_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'/'-joined ordered value lists per key (extractList.php:25-41)."""
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy(F.col("n_name").alias("nation_name"))
-        .agg(F.array_join(F.sort_array(F.collect_set("c_mktsegment")), "/")
-             .alias("segments"))
-    )
-
-
 # =====================================================================
 # §2.5 Windows / ordered stateful passes
 # =====================================================================
@@ -259,9 +241,11 @@ def q_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_islands", """
 SELECT user_id, CAST(MAX(island) AS BIGINT) AS n_islands,
-       CAST(MAX(session_id) AS BIGINT) AS n_sessions
+       CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN prev_value IS NOT NULL AND value < prev_value
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_regressions
 FROM (
-  SELECT user_id,
+  SELECT user_id, value, prev_value,
          SUM(CASE WHEN event_type IS DISTINCT FROM prev_type THEN 1 ELSE 0 END)
              OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS island,
@@ -270,20 +254,23 @@ FROM (
              OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS session_id
   FROM (
-    SELECT user_id, ts, event_id, event_type,
+    SELECT user_id, ts, event_id, event_type, value,
            LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
-           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+           LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
     FROM events) a
 ) b GROUP BY user_id
 """)
 def q_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands change detection (W2 analog of section change,
     editionxmltottl.php:150-162) + session windows (gap > 30 min, the
-    batch equivalent of streaming session windows) over the events
-    stream. Both running counters share ONE (user_id) partitioning and
-    ordering, so Catalyst plans a single exchange + sort for all four
-    window functions — the merged form halves the shuffle count of
-    running the two audits separately."""
+    batch equivalent of streaming session windows) + monotonicity
+    validation (W8/W9, exportlocations.php:34-63 — count of value
+    regressions vs the previous event) over the events stream. All
+    three audits share ONE (user_id) partitioning and ordering, so
+    Catalyst plans a single exchange + sort for all five window
+    functions — running them separately would triple the shuffle
+    count for the same answers."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -295,12 +282,18 @@ def q_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("ts").over(w).isNull()
         | ((F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800)
     ).cast("int")
+    prev_value = F.lag("value").over(w)
+    regression = (
+        prev_value.isNotNull() & (F.col("value") < prev_value)
+    ).cast("int")
     return (
         e.withColumn("island", F.sum(changed).over(run))
         .withColumn("session_id", F.sum(gap).over(run))
+        .withColumn("regression", regression)
         .groupBy("user_id")
         .agg(F.max("island").cast("long").alias("n_islands"),
-             F.max("session_id").cast("long").alias("n_sessions"))
+             F.max("session_id").cast("long").alias("n_sessions"),
+             F.sum("regression").cast("long").alias("n_regressions"))
     )
 
 
@@ -362,28 +355,6 @@ def q_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.first("good_value", ignorenulls=True).over(fwd).alias("filled_value"),
         F.last("good_value", ignorenulls=True).over(bwd).alias("carried_value"),
-    )
-
-
-@register("q_out_of_order", """
-SELECT user_id, COUNT(*) AS n_regressions
-FROM (
-  SELECT user_id, value,
-         LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
-  FROM events) t
-WHERE prev_value IS NOT NULL AND value < prev_value
-GROUP BY user_id
-""")
-def q_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Monotonicity validation (W8/W9, exportlocations.php:34-63)."""
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        e.withColumn("prev_value", F.lag("value").over(w))
-        .filter(F.col("prev_value").isNotNull()
-                & (F.col("value") < F.col("prev_value")))
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_regressions"))
     )
 
 

@@ -680,7 +680,8 @@ def q_folio_map_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_count_distinct", """
 SELECT n_name,
        COUNT(DISTINCT o_custkey) AS n_customers,
-       COUNT(*) AS n_orders
+       COUNT(*) AS n_orders,
+       STRING_AGG(DISTINCT c_mktsegment, '/' ORDER BY c_mktsegment) AS segments
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -689,7 +690,11 @@ GROUP BY n_name
 def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct counting per group through a two-hop broadcast
     dimension join (count_distinct expands to a two-phase aggregate —
-    partial distinct map-side, exact at scale unlike approx sketches)."""
+    partial distinct map-side, exact at scale unlike approx sketches),
+    plus the '/'-joined ordered distinct-value list per key
+    (extractList.php:25-41 string pivot) — both distinct aggregates
+    ride the same n_name shuffle, so folding them into one query costs
+    no extra exchange over count-distinct alone."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -700,6 +705,8 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("o_custkey").alias("n_customers"),
             F.count(F.lit(1)).alias("n_orders"),
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), "/")
+            .alias("segments"),
         )
     )
 

@@ -485,56 +485,7 @@ def _kg_mention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_kg_degree", f"""
-WITH {_DIM_SQL},
-{_WORDS_SQL},
-{_EDGES_SQL},
-tagged AS (
-  SELECT src AS node, 1 AS o, 0 AS i FROM edges
-  UNION ALL
-  SELECT dst AS node, 0 AS o, 1 AS i FROM edges)
-SELECT node, CAST(SUM(o) AS BIGINT) AS out_deg, CAST(SUM(i) AS BIGINT) AS in_deg
-FROM tagged GROUP BY node
-""")
-def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node in/out degree over the mention graph — one union +
-    one partially-aggregating groupBy (hub-safe; operators/graph.py)."""
-    from .operators.graph import degree_stats
-
-    return degree_stats(_kg_mention_edges(spark, sf_dir))
-
-
 _KHOP_VISITED = "SELECT node FROM h0 UNION ALL SELECT node FROM h1"
-
-
-@register("q_kg_khop", f"""
-WITH {_DIM_SQL},
-{_WORDS_SQL},
-{_EDGES_SQL},
-sym AS (SELECT src AS a, dst AS b FROM edges
-        UNION SELECT dst, src FROM edges),
-h0 AS (SELECT MIN(dst) AS node, 0 AS hop FROM edges),
-h1 AS (SELECT DISTINCT b AS node, 1 AS hop FROM sym JOIN h0 ON sym.a = h0.node
-       WHERE b NOT IN (SELECT node FROM h0)),
-h2 AS (SELECT DISTINCT b AS node, 2 AS hop FROM sym JOIN h1 ON sym.a = h1.node
-       WHERE b NOT IN ({_KHOP_VISITED})),
-h3 AS (SELECT DISTINCT b AS node, 3 AS hop FROM sym JOIN h2 ON sym.a = h2.node
-       WHERE b NOT IN ({_KHOP_VISITED} UNION ALL SELECT node FROM h2))
-SELECT node, CAST(hop AS INTEGER) AS hop FROM (
-  SELECT * FROM h0 UNION ALL SELECT * FROM h1
-  UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3) u
-""")
-def q_kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-hop BFS neighborhood of the lexicographic-min entity node
-    (undirected mention graph), hop = min distance."""
-    from pyspark.sql import functions as F
-
-    from .operators.graph import k_hop
-
-    edges = _kg_mention_edges(spark, sf_dir)
-    seeds = edges.agg(F.min("dst").alias("node"))
-    return k_hop(edges, seeds, k=3).select(
-        "node", F.col("hop").cast("int").alias("hop"))
 
 
 def _PR_ITER_SQL(prev: str, out: str) -> str:
@@ -552,10 +503,18 @@ c{out} AS (
   FROM nodes LEFT JOIN c{out} ON c{out}.node = nodes.node)"""
 
 
-@register("q_pagerank", f"""
+@register("q_kg_graph_metrics", f"""
 WITH {_DIM_SQL},
 {_WORDS_SQL},
 {_EDGES_SQL},
+tagged AS (
+  SELECT src AS node, 1 AS o, 0 AS i FROM edges
+  UNION ALL
+  SELECT dst AS node, 0 AS o, 1 AS i FROM edges),
+deg_io AS (
+  SELECT node, CAST(SUM(o) AS BIGINT) AS out_deg,
+         CAST(SUM(i) AS BIGINT) AS in_deg
+  FROM tagged GROUP BY node),
 sym AS (SELECT src AS a, dst AS b FROM edges
         UNION SELECT dst, src FROM edges),
 nodes AS (SELECT DISTINCT a AS node FROM sym),
@@ -567,18 +526,46 @@ r0 AS (SELECT node, CAST((SELECT init_u FROM params) AS BIGINT) AS rank_u
        FROM nodes),
 {_PR_ITER_SQL("r0", "r1")},
 {_PR_ITER_SQL("r1", "r2")},
-{_PR_ITER_SQL("r2", "r3")}
-SELECT node, rank_u FROM r3
+{_PR_ITER_SQL("r2", "r3")},
+h0 AS (SELECT MIN(dst) AS node, 0 AS hop FROM edges),
+h1 AS (SELECT DISTINCT b AS node, 1 AS hop FROM sym JOIN h0 ON sym.a = h0.node
+       WHERE b NOT IN (SELECT node FROM h0)),
+h2 AS (SELECT DISTINCT b AS node, 2 AS hop FROM sym JOIN h1 ON sym.a = h1.node
+       WHERE b NOT IN ({_KHOP_VISITED})),
+h3 AS (SELECT DISTINCT b AS node, 3 AS hop FROM sym JOIN h2 ON sym.a = h2.node
+       WHERE b NOT IN ({_KHOP_VISITED} UNION ALL SELECT node FROM h2)),
+khop AS (
+  SELECT * FROM h0 UNION ALL SELECT * FROM h1
+  UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3)
+SELECT d.node, d.out_deg, d.in_deg, r3.rank_u, CAST(k.hop AS INTEGER) AS hop
+FROM deg_io d
+JOIN r3 ON r3.node = d.node
+LEFT JOIN khop k ON k.node = d.node
 """)
-def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-iteration PageRank in BIGINT micro-units over the undirected
-    mention graph. All-integer arithmetic (rank scaled 1e12, damping
-    17/20, floor division) makes ranks bit-identical at every
-    parallelism level and in the oracle — float PageRank would drift
-    with partition-dependent summation order and hash-mismatch."""
-    from .operators.graph import pagerank_fixed_point
+def q_kg_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three graph post-passes (operators/graph.py) in one
+    node-level result over the mention graph: in/out degree (hub-safe
+    union + partially-aggregating groupBy), 3-iteration PageRank in
+    BIGINT micro-units (all-integer arithmetic — rank scaled 1e12,
+    damping 17/20, floor division — so ranks are bit-identical at
+    every parallelism level and in the oracle; float PageRank would
+    drift with partition-dependent summation order), and the 3-hop
+    BFS neighborhood of the lexicographic-min entity node (hop = min
+    distance, null outside the neighborhood). The mention pipeline
+    feeding all three is localCheckpoint-ed so extract→link→distinct
+    runs once, not three times; degree and PageRank then join on node
+    (both cover exactly src ∪ dst) with the BFS left-joined on top."""
+    from pyspark.sql import functions as F
 
-    return pagerank_fixed_point(_kg_mention_edges(spark, sf_dir), iterations=3)
+    from .operators.graph import degree_stats, k_hop, pagerank_fixed_point
+
+    edges = _kg_mention_edges(spark, sf_dir).localCheckpoint()
+    deg = degree_stats(edges)
+    pr = pagerank_fixed_point(edges, iterations=3)
+    seeds = edges.agg(F.min("dst").alias("node"))
+    kh = k_hop(edges, seeds, k=3).select(
+        "node", F.col("hop").cast("int").alias("hop"))
+    return deg.join(pr, "node").join(kh, "node", "left")
 
 
 _BATCH_A = "substr(md5(conv_id), 1, 1) IN ('0','1','2','3','4','5','6','7')"
