@@ -6,4 +6,8 @@ continuously-arriving transcripts: same triple semantics, micro-batch
 execution via foreachBatch so every batch reuses the EXACT batch
 operators (no second implementation to drift)."""
 
-from .incremental import stream_triples, stream_from_directory  # noqa: F401
+from .incremental import (  # noqa: F401
+    stream_from_directory,
+    stream_kg_ingest,
+    stream_triples,
+)

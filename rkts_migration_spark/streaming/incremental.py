@@ -54,6 +54,67 @@ def stream_triples(
     return writer.start()
 
 
+def stream_kg_ingest(
+    transcript_stream: DataFrame,
+    dict_tables: dict[str, DataFrame],
+    store_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+    on_batch: Callable[[int, int], None] | None = None,
+):
+    """Continuous KG construction with idempotent appends: each
+    micro-batch runs the full batch pipeline (same functions, same
+    semantics), anti-joins the committed triple store
+    (operators/graph.merge_triples) and appends ONLY the delta.
+
+    This upgrades at-least-once delivery to exactly-once *effect* on
+    the triple set: a re-delivered batch (source retry, crawler
+    overlap, checkpoint replay) computes the same candidate triples,
+    every one of which is already in the store, so the delta is empty
+    and the append is a no-op. The store itself is the idempotency
+    ledger — no side state to maintain or expire.
+
+    Scale shape: the anti-join shuffles on the full (subj, pred, obj)
+    key with the BIG side (the store) streamed, never broadcast or
+    collected; the micro-batch side is the small one. On a real
+    deployment ``store_dir`` is an Iceberg table and the
+    read-anti-join-append becomes a single ``MERGE INTO ... WHEN NOT
+    MATCHED THEN INSERT`` commit (one snapshot per micro-batch, safe
+    under concurrent readers); the parquet-dir fallback here has the
+    identical dataflow. ``on_batch(batch_id, n_appended)`` surfaces
+    per-batch lineage metrics.
+    """
+    from pyspark.errors import AnalysisException
+
+    from ..operators.graph import merge_triples
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tables = dict(dict_tables)
+        tables["transcripts"] = batch_df
+        candidates = build_triples_inmem(spark, tables)
+        try:
+            existing = spark.read.parquet(store_dir)
+        except AnalysisException:  # first batch: nothing committed yet
+            existing = spark.createDataFrame([], candidates.schema)
+        delta = merge_triples(existing, candidates).persist()
+        n_appended = delta.count()
+        if n_appended:
+            delta.write.mode("append").parquet(store_dir)
+        delta.unpersist()
+        if on_batch is not None:
+            on_batch(batch_id, n_appended)
+
+    writer = (
+        transcript_stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_from_directory(
     spark: SparkSession,
     input_dir: str,

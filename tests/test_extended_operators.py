@@ -226,6 +226,69 @@ def test_stream_matches_batch(spark, tmpdir_ckpt):
     assert got == batch_triples
 
 
+def test_stream_kg_ingest_idempotent_delta(spark, tmpdir_ckpt):
+    """Continuous KG construction: three file drops (convs A, convs B,
+    then an exact RE-DELIVERY of A), maxFilesPerTrigger=1 => three
+    micro-batches. The committed store must equal the set-union of the
+    per-batch pipeline outputs with zero duplicate rows, and the
+    re-delivered batch must append exactly nothing (idempotent
+    at-least-once -> exactly-once effect)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rkts_migration_spark.fixtures import (
+        TRANSCRIPT_DDL,
+        fixtures_to_spark,
+        make_fixtures,
+    )
+    from rkts_migration_spark.pipeline import build_triples_inmem
+    from rkts_migration_spark.streaming import (
+        stream_from_directory,
+        stream_kg_ingest,
+    )
+
+    fx = make_fixtures(seed=11, n_convs=10)
+    tables = fixtures_to_spark(spark, fx)
+    tr = tables["transcripts"]
+    convs = sorted(
+        r["conv_id"] for r in tr.select("conv_id").distinct().collect())
+    conv_a, conv_b = convs[:5], convs[5:]
+    batch_a = tr.filter(F.col("conv_id").isin(conv_a))
+    batch_b = tr.filter(F.col("conv_id").isin(conv_b))
+
+    src = os.path.join(tmpdir_ckpt, "ingest_src")
+    os.makedirs(src)
+    for drop in (batch_a, batch_b, batch_a):  # third = re-delivery of A
+        drop.coalesce(1).write.mode("append").parquet(src)
+
+    dicts = {k: v for k, v in tables.items() if k != "transcripts"}
+    store = os.path.join(tmpdir_ckpt, "triple_store")
+    appended: dict[int, int] = {}
+
+    q = stream_kg_ingest(
+        stream_from_directory(spark, src, TRANSCRIPT_DDL),
+        dicts, store, os.path.join(tmpdir_ckpt, "ingest_ck"),
+        on_batch=lambda bid, n: appended.__setitem__(bid, n),
+    )
+    q.awaitTermination(180)
+
+    def triple_set(df):
+        return {(r["subj"], r["pred"], r["obj"]) for r in df.collect()}
+
+    expected = triple_set(
+        build_triples_inmem(spark, {**dicts, "transcripts": batch_a})
+    ) | triple_set(
+        build_triples_inmem(spark, {**dicts, "transcripts": batch_b})
+    )
+    got = spark.read.parquet(store)
+    assert triple_set(got) == expected
+    assert got.count() == len(expected)  # no duplicate rows in the store
+    assert len(appended) == 3
+    assert appended[2] == 0  # re-delivered batch appended nothing
+    assert appended[0] + appended[1] == len(expected)
+
+
 def test_late_tolerant_turn_counts_stream(spark, tmpdir_ckpt):
     """Watermark + session_window over a file stream: out-of-order
     turns within a session aggregate into one window; a gap larger
