@@ -326,6 +326,49 @@ def jaccard_pairs(
         cache=cache)
 
 
+def flag_contaminated(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3-style n-gram overlap
+    check): flag corpus documents sharing >= ``min_overlap`` distinct
+    n-word shingles with ANY benchmark document, returning
+    (``id_col``, n_overlap). Docs with no overlap are absent — join
+    back to the corpus (left_anti on the result) for the keep-list.
+
+    Scale shape, asymmetric by design: both sides reduce to
+    (id, shingle) postings via the same word_shingles the MinHash
+    family uses, but the benchmark side collapses to DISTINCT shingle
+    keys — WHICH benchmark doc matched doesn't matter — and real
+    benchmark suites are MBs against a 100-TB corpus, so that side is
+    broadcast-sized. The overlap probe then ships zero corpus bytes:
+    each corpus posting checks the broadcast hash relation map-side,
+    and the only shuffle is the per-doc overlap count with map-side
+    partial aggregation. Shingles are compared as xxhash64 keys
+    (8 bytes each, so a 1M-shingle benchmark broadcasts in ~8 MB); a
+    64-bit collision could only OVER-flag, the safe direction for
+    decontamination. Corpus postings are distinct per doc by
+    construction (word_shingles dedups), so a plain count() suffices
+    for the overlap size."""
+    c_sh = word_shingles(corpus, text_col, id_col, n).select(
+        id_col, F.xxhash64("sh").alias("_k"))
+    b_sh = (
+        word_shingles(benchmark, text_col, id_col, n)
+        .select(F.xxhash64("sh").alias("_k"))
+        .distinct()
+    )
+    return (
+        c_sh.join(F.broadcast(b_sh), "_k")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
 def neardup_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 128, bands: int = 16, shingle_n: int = 5,

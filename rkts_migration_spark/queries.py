@@ -6,6 +6,13 @@ Cross-engine determinism rules used throughout (the driver hashes
 values):
 - money/double aggregates go through DECIMAL (exact, order-independent)
   and are cast back to double at the end;
+- decimal results whose SCALED integer can exceed 2^53 (e.g. a
+  scale-8 multiply summed over a big fact table) are rounded back to
+  scale 2 BEFORE the double cast — above 2^53 the decimal->double
+  conversion itself is engine-dependent (1-ulp divergence observed at
+  sf0.1); the rounding must be ROUND(x, 2) in the oracle, never
+  CAST(x AS DECIMAL(18,2)), because DuckDB's decimal downcast
+  truncates while Spark's rounds HALF_UP;
 - embedding math quantizes floats to integers first (order-independent
   integer sums), then rounds the final ratio;
 - every computed column is aliased identically in both engines;
@@ -87,8 +94,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @register("q_agg_pushdown", """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-            * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+            * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -96,7 +103,18 @@ GROUP BY l_returnflag, l_linestatus
 """)
 def q_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: filter pushed to parquet scan, two-phase hash agg.
-    Decimal accumulation => bit-identical to DuckDB regardless of order."""
+    Decimal accumulation => bit-identical to DuckDB regardless of order.
+
+    The revenue sum re-rounds to scale 2 BEFORE the double cast: the
+    multiply yields scale 8, and at sf0.1+ the exact scaled integer
+    (~2.7e17) exceeds 2^53, where decimal->double conversion is
+    engine-dependent (observed: 1-ulp divergence vs DuckDB at sf0.1).
+    At scale 2 the scaled integer stays far below 2^53, so both
+    engines convert the identical exact decimal to the identical
+    double. The rounding itself must be HALF_UP on both sides:
+    Spark's decimal downcast rounds HALF_UP, but DuckDB's decimal
+    CAST truncates — the oracle therefore uses ROUND(x, 2) (half-up),
+    never CAST(x AS DECIMAL(18,2))."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
@@ -107,7 +125,7 @@ def q_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,4)")
                 * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
-            ).cast("double").alias("revenue"),
+            ).cast("decimal(18,2)").cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -143,8 +161,8 @@ def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_shuffle_join", """
 SELECT o.o_orderpriority,
        COUNT(DISTINCT o.o_orderkey) AS n_orders,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-            * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+            * CAST(1 - l.l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
 """)
@@ -161,7 +179,7 @@ def q_shuffle_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,4)")
                 * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
-            ).cast("double").alias("revenue"),
+            ).cast("decimal(18,2)").cast("double").alias("revenue"),
         )
     )
 

@@ -181,6 +181,39 @@ def test_jaccard_max_df_caps_hot_tokens(spark):
     assert len(uncapped) == 15  # every pair linked through "the"
 
 
+def test_flag_contaminated_ngram_overlap(spark):
+    """GPT-3-style decontamination: a corpus doc embedding a benchmark
+    13-gram is flagged; unrelated docs are not; min_overlap
+    distinguishes a full benchmark copy from a minimal 13-word span."""
+    from rkts_migration_spark.operators.dedup import flag_contaminated
+
+    # 15 benchmark words -> three distinct 13-gram shingles
+    bench = ("the quick brown fox jumps over that lazy dog "
+             "again and again today every morning")
+    prefix13 = " ".join(bench.split()[:13])  # exactly one shingle
+    corpus = spark.createDataFrame(
+        [
+            ("full_copy", "intro words %s outro words" % bench),
+            ("span_only", "padding tokens %s trailing bits" % prefix13),
+            ("clean", "a totally unrelated fourteen word sentence about "
+                      "spark pipelines partitioning shuffles and skew"),
+            ("short", "too short to shingle"),
+        ],
+        "doc_id string, text string",
+    )
+    benchmark = spark.createDataFrame([("b1", bench)],
+                                      "doc_id string, text string")
+
+    got = {r["doc_id"]: r["n_overlap"]
+           for r in flag_contaminated(corpus, benchmark, n=13).collect()}
+    assert got == {"full_copy": 3, "span_only": 1}
+
+    strict = {r["doc_id"]
+              for r in flag_contaminated(corpus, benchmark, n=13,
+                                         min_overlap=2).collect()}
+    assert strict == {"full_copy"}
+
+
 def test_minhash_band_buckets_presets(spark):
     # identical docs share every band bucket; a perturbed doc agrees on
     # none-or-few; md5 and xxhash paths have identical bucketing shape.

@@ -91,6 +91,24 @@ def test_mention_join_is_broadcast(spark):
     assert has_broadcast_join(linked)
 
 
+def test_flag_contaminated_broadcasts_benchmark(spark):
+    """Decontamination must broadcast the benchmark shingle side (the
+    corpus side is the 100-TB one): the overlap probe is a
+    BroadcastHashJoin and the only corpus shuffle is the per-doc
+    overlap count with map-side partial aggregation."""
+    from rkts_migration_spark.operators.dedup import flag_contaminated
+
+    corpus = spark.createDataFrame(
+        [("c%d" % i, ("word%d " % i) * 20) for i in range(30)],
+        "doc_id string, text string")
+    benchmark = spark.createDataFrame([("b", "word1 " * 20)],
+                                      "doc_id string, text string")
+    plan = physical_plan(flag_contaminated(corpus, benchmark, n=13))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
 def test_degree_stats_partial_agg_no_window(spark):
     """Degree counting must be a partially-aggregating groupBy, never a
     window: a hub node's edge list stays distributed across splits."""
