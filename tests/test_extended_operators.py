@@ -134,6 +134,76 @@ def test_textstats(docs):
     assert fp[1] == fp[2] and fp[1] != fp[4]
 
 
+def test_repetition_stats_gopher_filters(spark):
+    """Gopher-style repetition gates: duplicate-line fraction and
+    top-bigram fraction, row-local (no shuffle)."""
+    from rkts_migration_spark.operators.textstats import with_repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            ("clean", "alpha beta gamma delta epsilon zeta eta theta"),
+            ("dup_lines", "same line\nsame line\nsame line\nunique line"),
+            ("spam_bigram", ("spam ham " * 10).strip()),
+            ("tiny", "one"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in with_repetition_stats(docs).collect()}
+    assert {k: v["passes_repetition"] for k, v in got.items()} == {
+        "clean": 1, "dup_lines": 0, "spam_bigram": 0, "tiny": 1}
+    assert got["dup_lines"]["dup_line_frac"] == 0.5
+    # 20 alternating tokens -> 19 bigrams, 'spam ham' x10 -> 10/19
+    assert got["spam_bigram"]["top_bigram_frac"] == round(10 / 19, 4)
+    assert got["tiny"]["top_bigram_frac"] == 0.0
+
+
+def test_pii_redaction(spark):
+    from rkts_migration_spark.operators.textstats import with_pii_redacted
+
+    docs = spark.createDataFrame(
+        [
+            ("pii", "mail john.doe+x@example.com or call (555) 123-4567; "
+                    "ssn 123-45-6789 ok"),
+            ("clean", "no personal identifiers in sight"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in with_pii_redacted(docs).collect()}
+    red = got["pii"]["text_redacted"]
+    assert "<EMAIL>" in red and "<PHONE>" in red and "<SSN>" in red
+    assert "example.com" not in red and "4567" not in red and "6789" not in red
+    assert got["pii"]["n_redactions"] == 3
+    assert got["clean"]["n_redactions"] == 0
+    assert got["clean"]["text_redacted"] == got["clean"]["text"]
+
+
+def test_stratified_sample_deterministic(spark):
+    """Key-hash sampling: identical sample at any partitioning, exact
+    per-call reproducibility, unlisted strata dropped, fraction 1.0
+    keeps everything."""
+    from rkts_migration_spark.operators.textstats import stratified_sample
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "en" if i % 2 == 0 else "es") for i in range(2000)],
+        "doc_id string, lang string",
+    )
+    fr = {"en": 0.5, "es": 0.1}
+    ids1 = {r["doc_id"] for r in
+            stratified_sample(df, "lang", fr, "doc_id").collect()}
+    ids2 = {r["doc_id"] for r in
+            stratified_sample(df.repartition(13), "lang", fr,
+                              "doc_id").collect()}
+    assert ids1 == ids2 and ids1
+    by_lang = {"en": 0, "es": 0}
+    for i in ids1:
+        by_lang["en" if int(i[1:]) % 2 == 0 else "es"] += 1
+    assert abs(by_lang["en"] / 1000 - 0.5) < 0.08
+    assert abs(by_lang["es"] / 1000 - 0.1) < 0.05
+
+    full = stratified_sample(df, "lang", {"en": 1.0}, "doc_id").collect()
+    assert len(full) == 1000 and all(r["lang"] == "en" for r in full)
+
+
 # --- location grammar (F9-F11 parity) ---------------------------------------
 
 def test_location_grammar(spark):
