@@ -185,6 +185,38 @@ def pagerank_fixed_point(
     return ranks
 
 
+def compact_labels(
+    triples: DataFrame,
+    label_preds: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Periodic store-compaction pass for continuous construction:
+    restore the one-label-per-(entity, predicate, language) invariant
+    that independent-batch ingest can violate (stream_kg_ingest's
+    set-union keeps BOTH winners when first-wins label selection picks
+    differently in different batches — see BENCH/BASELINE.md).
+
+    Deterministic rule: keep the lexicographic-min object literal per
+    (subj, pred, @lang). That is a *defined* total order over the
+    store's own contents — unlike the batch build's corpus-order
+    first-wins, which is unrecoverable once batches are merged — so
+    compaction is idempotent and parallelism-invariant. Non-label
+    triples pass through untouched; the only shuffle is a groupBy on
+    the label subset (map-side partials; label cardinality is
+    entity-bounded, far below triple count)."""
+    from .. import vocab as V
+
+    preds = list(label_preds or (V.PRED_PREF_LABEL, V.PRED_ALT_LABEL))
+    is_label = F.col("pred").isin(preds)
+    lang = F.regexp_extract(F.col("obj"), r"@([A-Za-z-]+)$", 1)
+    compacted = (
+        triples.filter(is_label)
+        .groupBy("subj", "pred", lang.alias("_lang"))
+        .agg(F.min("obj").alias("obj"))
+        .select("subj", "pred", "obj")
+    )
+    return triples.filter(~is_label).unionByName(compacted)
+
+
 def merge_triples(
     existing: DataFrame, incoming: DataFrame, cols=("subj", "pred", "obj")
 ) -> DataFrame:

@@ -82,3 +82,36 @@ def test_merge_triples_delta_and_idempotency(spark):
     # idempotent: re-delivering an already-committed batch appends nothing
     committed = existing.unionByName(delta)
     assert merge_triples(committed, incoming).isEmpty()
+
+
+def test_compact_labels_restores_invariant(spark):
+    """Two pref labels for the same (entity, lang) — the batch-variance
+    artifact of independent-batch ingest — compact to the lexicographic
+    min; other langs/preds/triples untouched; idempotent."""
+    from rkts_migration_spark import vocab as V
+    from rkts_migration_spark.operators.graph import compact_labels
+
+    schema = "subj string, pred string, obj string"
+    store = spark.createDataFrame(
+        [
+            ("e1", V.PRED_PREF_LABEL, '"Zebra"@en'),
+            ("e1", V.PRED_PREF_LABEL, '"Apple"@en'),   # dup winner
+            ("e1", V.PRED_PREF_LABEL, '"Uno"@es'),     # other lang kept
+            ("e1", V.PRED_ALT_LABEL, '"Alt"@en'),
+            ("e2", V.PRED_PREF_LABEL, '"Solo"@en'),
+            ("e1", "http://x/p/other", '"not a label"@en'),
+        ],
+        schema,
+    )
+    got = {tuple(r) for r in compact_labels(store).collect()}
+    assert got == {
+        ("e1", V.PRED_PREF_LABEL, '"Apple"@en'),
+        ("e1", V.PRED_PREF_LABEL, '"Uno"@es'),
+        ("e1", V.PRED_ALT_LABEL, '"Alt"@en'),
+        ("e2", V.PRED_PREF_LABEL, '"Solo"@en'),
+        ("e1", "http://x/p/other", '"not a label"@en'),
+    }
+    # idempotent
+    twice = {tuple(r) for r in
+             compact_labels(compact_labels(store)).collect()}
+    assert twice == got
