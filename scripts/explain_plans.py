@@ -130,6 +130,35 @@ def main() -> int:
         plan_of(xml_df),
     ))
 
+    # 7. jaccard max_df guard: partial agg + broadcast anti, never a window
+    from rkts_migration_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"common w{i} w{i + 1}") for i in range(8)],
+        "doc_id int, text string")
+    sections.append((
+        "Jaccard max_df guard: partial-agg + broadcast anti, postings cached once",
+        "document frequency via groupBy(token).count() with map-side "
+        "partial_count, hot tokens dropped by a BroadcastHashJoin LeftAnti "
+        "— no Window, so a stop word's posting list never colocates; the "
+        "guarded postings are cached once and reused by both join sides",
+        plan_of(jaccard_pairs(docs, max_df=3)),
+    ))
+
+    # 8. graph metrics: one node-level assembly over checkpointed passes
+    from rkts_migration_spark.queries_kg import q_kg_graph_metrics
+
+    sections.append((
+        "Graph metrics (q_kg_graph_metrics): one node-level assembly over "
+        "checkpointed passes",
+        "degree/PageRank/BFS share ONE localCheckpoint-ed mention-edge "
+        "pipeline; degree is union -> partial HashAggregate -> one exchange "
+        "(hub-safe, no Window); the Scan ExistingRDD leaves are the "
+        "localCheckpoint boundaries capping plan growth at any "
+        "iteration/hop count",
+        plan_of(q_kg_graph_metrics(spark, sf_dir)),
+    ))
+
     out = ["# PLANS — formatted physical plans of the load-bearing shapes",
            "",
            "Generated by `python scripts/explain_plans.py` (sf0.001 inputs;",
