@@ -210,6 +210,69 @@ def simhash64(
         half(0).alias("simhash_hi"), half(32).alias("simhash_lo"))
 
 
+def simhash_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming-distance near-dup pairs over the 64-bit SimHash via the
+    Manku/Jain/Sarma pigeonhole trick (WWW'07, the classic web-dedup
+    method): split the signature into ``max_hamming + 1`` equal
+    chunks — any pair within Hamming distance k must agree EXACTLY on
+    at least one chunk — bucket-join on (chunk_index, chunk_value),
+    then verify the exact distance with bit_count(xor) and keep pairs
+    <= k. Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
+
+    Scale shape: the shuffle carries (doc, chunk) rows — k+1 per
+    document, never document pairs — and the join is an equi-join on
+    narrow integer keys; the only pairs ever materialized are
+    bucket-collisions, the same candidate-bounded contract as the
+    MinHash LSH path. A chunk that collides for many docs (e.g. the
+    all-zeros chunk of empty-ish documents) is the analog of a hot
+    LSH bucket; at 100 TB add a per-bucket frequency cap exactly like
+    jaccard's max_df guard. Verification is row-local integer XOR —
+    no second shuffle beyond the pair dedup.
+
+    ``max_hamming`` must be one of 1 / 3 / 7 so the chunk count
+    (k + 1 = 2 / 4 / 8) divides the two 32-bit signature halves
+    evenly."""
+    if max_hamming not in (1, 3, 7):
+        raise ValueError("max_hamming must be 1, 3 or 7 (chunks must "
+                         "divide the two 32-bit halves evenly)")
+    n_chunks = max_hamming + 1
+    per_half = n_chunks // 2
+    width = 32 // per_half
+    mask = (1 << width) - 1
+
+    sig = simhash64(df, text_col, id_col)
+    chunks = []
+    for half_col in ("simhash_hi", "simhash_lo"):
+        for j in range(per_half):
+            shift = 32 - width * (j + 1)
+            chunks.append(
+                F.shiftright(F.col(half_col), shift).bitwiseAND(F.lit(mask)))
+    posted = sig.select(
+        F.col(id_col), "simhash_hi", "simhash_lo",
+        F.posexplode(F.array(*chunks)).alias("_band", "_chunk"),
+    )
+    a = posted.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash_hi").alias("_ha"),
+        F.col("simhash_lo").alias("_la"), "_band", "_chunk")
+    b = posted.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash_hi").alias("_hb"),
+        F.col("simhash_lo").alias("_lb"), "_band", "_chunk")
+    hamming = (
+        F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+        + F.bit_count(F.col("_la").bitwiseXOR(F.col("_lb")))
+    ).cast("int")
+    return (
+        a.join(b, ["_band", "_chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 4
 ) -> DataFrame:

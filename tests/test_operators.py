@@ -249,6 +249,57 @@ def test_simhash64_halves_exact(spark):
     assert (row["simhash_hi"], row["simhash_lo"]) == (expect_hi, expect_lo)
 
 
+def test_simhash_candidates_pigeonhole(spark):
+    """Manku-style chunk-bucket pairing must return exactly the pairs
+    the pigeonhole + exact-hamming rule defines over the real
+    signatures (computed independently in Python), and identical docs
+    always pair at hamming 0."""
+    from rkts_migration_spark.operators.dedup import (
+        simhash64,
+        simhash_candidates,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away home tonight under bright stars")
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                                 # identical
+            (3, base.replace("lazy", "sleepy")),       # near variant
+            (4, "completely different content about spark shuffles "
+                "partitions skew salting and adaptive execution"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: (r["simhash_hi"], r["simhash_lo"])
+            for r in simhash64(docs).collect()}
+
+    def chunks(hi, lo):
+        return [(hi >> 16) & 0xFFFF, hi & 0xFFFF,
+                (lo >> 16) & 0xFFFF, lo & 0xFFFF]
+
+    def hamming(p, q):
+        return (bin(p[0] ^ q[0]).count("1") + bin(p[1] ^ q[1]).count("1"))
+
+    ids = sorted(sigs)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shares = any(x == y for x, y in
+                         zip(chunks(*sigs[a]), chunks(*sigs[b])))
+            h = hamming(sigs[a], sigs[b])
+            if shares and h <= 3:
+                expected[(a, b)] = h
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_candidates(docs).collect()}
+    assert got == expected
+    assert got[(1, 2)] == 0  # identical docs always bucket-collide
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        simhash_candidates(docs, max_hamming=2)
+
+
 def test_connected_components_deep_chain(spark):
     # 1000-deep merge chain: plain label propagation needs ~1000
     # rounds (max_iter=50 would silently mislabel); pointer doubling
