@@ -429,3 +429,31 @@ def test_neardup_clusters_numeric_ids(spark):
     assert rows[9] == (9, True)
     assert rows[10] == (9, False)
     assert rows[3] == (3, True)
+
+
+def test_conversations_as_documents_stable_bytes(spark):
+    """Document bytes are a pure function of the data: identical under
+    repartitioning (array_sort on turn_idx, not collect order), role
+    prefixes and ordering correct."""
+    from rkts_migration_spark.operators.ordering import (
+        conversations_as_documents,
+    )
+
+    rows = [
+        ("c1", 1, "assistant", "world"),
+        ("c1", 0, "user", "hello"),
+        ("c1", 2, "user", "bye"),
+        ("c2", 0, "user", "solo"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, "
+                                     "role string, text string")
+    docs = {r["doc_id"]: r for r in
+            conversations_as_documents(df).collect()}
+    assert docs["c1"]["text"] == "user: hello\nassistant: world\nuser: bye"
+    assert docs["c1"]["n_turns"] == 3 and docs["c2"]["n_turns"] == 1
+    again = {r["doc_id"]: r["text"] for r in
+             conversations_as_documents(df.repartition(7)).collect()}
+    assert again == {k: v["text"] for k, v in docs.items()}
+    bare = {r["doc_id"]: r["text"] for r in
+            conversations_as_documents(df, include_role=False).collect()}
+    assert bare["c1"] == "hello\nworld\nbye"
