@@ -212,7 +212,7 @@ def simhash64(
 
 def simhash_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    max_hamming: int = 3,
+    max_hamming: int = 3, max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Hamming-distance near-dup pairs over the 64-bit SimHash via the
     Manku/Jain/Sarma pigeonhole trick (WWW'07, the classic web-dedup
@@ -228,9 +228,12 @@ def simhash_candidates(
     bucket-collisions, the same candidate-bounded contract as the
     MinHash LSH path. A chunk that collides for many docs (e.g. the
     all-zeros chunk of empty-ish documents) is the analog of a hot
-    LSH bucket; at 100 TB add a per-bucket frequency cap exactly like
-    jaccard's max_df guard. Verification is row-local integer XOR —
-    no second shuffle beyond the pair dedup.
+    LSH bucket, and ``max_bucket`` guards it the same way as
+    jaccard's max_df / neardup's bucket cap: a partial-agg count per
+    (band, chunk) and a broadcast anti join drop over-cap buckets
+    (members lose that chunk's pairing chance — remove byte-identical
+    mass duplicates with exact_dedup first). Verification is
+    row-local integer XOR — no second shuffle beyond the pair dedup.
 
     ``max_hamming`` must be one of 1 / 3 / 7 so the chunk count
     (k + 1 = 2 / 4 / 8) divides the two 32-bit signature halves
@@ -254,6 +257,15 @@ def simhash_candidates(
         F.col(id_col), "simhash_hi", "simhash_lo",
         F.posexplode(F.array(*chunks)).alias("_band", "_chunk"),
     )
+    if max_bucket is not None:
+        hot = (
+            posted.groupBy("_band", "_chunk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("_band", "_chunk")
+        )
+        posted = posted.join(
+            F.broadcast(hot), ["_band", "_chunk"], "left_anti")
     a = posted.select(
         F.col(id_col).alias("doc_a"), F.col("simhash_hi").alias("_ha"),
         F.col("simhash_lo").alias("_la"), "_band", "_chunk")
@@ -436,10 +448,24 @@ def neardup_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 128, bands: int = 16, shingle_n: int = 5,
     use_xxhash: bool = True, cache: bool = True,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b): MinHash band buckets, one
     narrow bucket equi-join per band, deduped across bands. Never a
     doc x doc join — the shuffle carries (id, bucket) rows.
+
+    ``max_bucket`` is the hot-bucket guard (same class as jaccard's
+    max_df): a boilerplate document duplicated 10^6 times at 100 TB
+    puts 10^6 docs in one bucket in EVERY band -> 10^12 pairs from
+    a single self-join cell. Buckets larger than the cap are counted
+    with a partially-aggregating groupBy (one row per (band, bucket)
+    per split — never a colocated member list) and dropped from both
+    join sides via a broadcast anti join; the hot list is bounded at
+    |docs|·bands / max_bucket entries, broadcast-sized by
+    construction. Trade-off, stated: members of a dropped bucket lose
+    that band's pairing chance (byte-identical mass duplicates should
+    be removed by exact_dedup BEFORE LSH — that is the pipeline order
+    neardup_clusters documents). Pass ``max_bucket=None`` to disable.
 
     ``cache`` persists the band-bucket table (memory-and-disk): it is
     referenced on BOTH sides of every per-band join (2 x bands
@@ -454,12 +480,29 @@ def neardup_candidates(
     )
     if cache:
         buckets = buckets.persist()
+    hot = None
+    if max_bucket is not None:
+        posted = buckets.select(
+            F.posexplode(
+                F.array(*[F.col(f"b{b}") for b in range(bands)])
+            ).alias("_band", "_bk"))
+        hot = (
+            posted.groupBy("_band", "_bk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("_band", "_bk")
+            .persist()
+        )
     cand = None
     for b in range(bands):
         a_side = buckets.select(F.col(id_col).alias("doc_a"),
                                 F.col(f"b{b}").alias("_bk"))
         b_side = buckets.select(F.col(id_col).alias("doc_b"),
                                 F.col(f"b{b}").alias("_bk"))
+        if hot is not None:
+            hot_b = hot.filter(F.col("_band") == b).select("_bk")
+            a_side = a_side.join(F.broadcast(hot_b), "_bk", "left_anti")
+            b_side = b_side.join(F.broadcast(hot_b), "_bk", "left_anti")
         p = (a_side.join(b_side, "_bk")
              .filter(F.col("doc_a") < F.col("doc_b"))
              .select("doc_a", "doc_b"))

@@ -457,3 +457,35 @@ def test_conversations_as_documents_stable_bytes(spark):
     bare = {r["doc_id"]: r["text"] for r in
             conversations_as_documents(df, include_role=False).collect()}
     assert bare["c1"] == "hello\nworld\nbye"
+
+
+def test_hot_bucket_caps_lsh_and_simhash(spark):
+    """A mass-duplicated document (boilerplate) floods one bucket in
+    every band; the max_bucket guard drops those buckets from the
+    self-join while sub-cap pairs still emerge. Both candidate
+    generators share the guard semantics."""
+    from rkts_migration_spark.operators.dedup import (
+        neardup_candidates,
+        simhash_candidates,
+    )
+
+    boiler = "exactly the same boilerplate text repeated across the corpus"
+    pair = "a genuinely similar pair of documents about spark shuffles"
+    rows = [(i, boiler) for i in range(1, 4)]          # 3 identical
+    rows += [(10, pair), (11, pair + " indeed")]       # near pair
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {(r["doc_a"], r["doc_b"]) for r in neardup_candidates(
+        docs, k=8, bands=4, shingle_n=2, max_bucket=2).collect()}
+    assert (10, 11) in capped
+    assert not any(a in (1, 2, 3) and b in (1, 2, 3) for a, b in capped)
+    uncapped = {(r["doc_a"], r["doc_b"]) for r in neardup_candidates(
+        docs, k=8, bands=4, shingle_n=2, max_bucket=None).collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= uncapped
+
+    sh_capped = {(r["doc_a"], r["doc_b"])
+                 for r in simhash_candidates(docs, max_bucket=2).collect()}
+    assert not any(a in (1, 2, 3) and b in (1, 2, 3) for a, b in sh_capped)
+    sh_open = {(r["doc_a"], r["doc_b"])
+               for r in simhash_candidates(docs, max_bucket=None).collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= sh_open
