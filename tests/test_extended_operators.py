@@ -716,3 +716,33 @@ def test_resize_images(spark):
     want = arr[np.linspace(0, arr.size - 1, 32).astype(np.int64)].tobytes()
     got = [bytes(r["payload"]) for r in out if r["media_id"] == row["media_id"]]
     assert got == [want]
+
+
+def test_pack_documents_budget_and_determinism(spark):
+    """Greedy packing: every pack within budget (oversized docs get
+    singleton packs), every doc packed exactly once, membership
+    identical regardless of input partitioning."""
+    from rkts_migration_spark.operators.packing import pack_documents
+
+    rows = [(f"d{i:03d}", "tok " * (i % 7 + 1)) for i in range(60)]
+    rows.append(("huge", "tok " * 50))  # > budget -> singleton pack
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id string, text string")
+
+    packed = pack_documents(df, budget=10, n_shards=4).collect()
+    assert {r["doc_id"] for r in packed} == {i for i, _ in rows}
+    assert len(packed) == len(rows)
+
+    by_pack: dict = {}
+    for r in packed:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for pid, members in by_pack.items():
+        total = sum(m["n_tokens"] for m in members)
+        assert total <= 10 or len(members) == 1  # oversized singleton
+        assert pid == min(m["doc_id"] for m in members)
+    huge = [r for r in packed if r["doc_id"] == "huge"][0]
+    assert huge["pack_id"] == "huge" and len(by_pack["huge"]) == 1
+
+    again = pack_documents(df.repartition(13), budget=10, n_shards=4).collect()
+    assert {(r["doc_id"], r["pack_id"]) for r in again} == \
+        {(r["doc_id"], r["pack_id"]) for r in packed}
