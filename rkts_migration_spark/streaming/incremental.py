@@ -83,7 +83,19 @@ def stream_kg_ingest(
     under concurrent readers); the parquet-dir fallback here has the
     identical dataflow. ``on_batch(batch_id, n_appended)`` surfaces
     per-batch lineage metrics.
+
+    Lineage parity with the batch stages (sources/tables.write_stage):
+    every processed micro-batch writes a manifest row under
+    ``<store_dir>/_INGEST_MANIFESTS/batch_<id>.json`` AFTER its delta
+    is appended — batch id, input rows, appended triples — so an
+    auditor can reconstruct which micro-batch contributed which
+    append, the streaming analog of the manifest-last stage-commit
+    convention (zero-append re-deliveries get a manifest too, which
+    is itself the idempotency evidence).
     """
+    import json
+    import os
+
     from pyspark.errors import AnalysisException
 
     from ..operators.graph import merge_triples
@@ -92,6 +104,7 @@ def stream_kg_ingest(
         spark = batch_df.sparkSession
         tables = dict(dict_tables)
         tables["transcripts"] = batch_df
+        n_input = batch_df.count()
         candidates = build_triples_inmem(spark, tables)
         try:
             existing = spark.read.parquet(store_dir)
@@ -102,6 +115,11 @@ def stream_kg_ingest(
         if n_appended:
             delta.write.mode("append").parquet(store_dir)
         delta.unpersist()
+        mdir = os.path.join(store_dir, "_INGEST_MANIFESTS")
+        os.makedirs(mdir, exist_ok=True)
+        with open(os.path.join(mdir, f"batch_{batch_id:06d}.json"), "w") as f:
+            json.dump({"batch_id": batch_id, "input_rows": n_input,
+                       "appended_triples": n_appended}, f)
         if on_batch is not None:
             on_batch(batch_id, n_appended)
 

@@ -358,6 +358,20 @@ def test_stream_kg_ingest_idempotent_delta(spark, tmpdir_ckpt):
     assert appended[2] == 0  # re-delivered batch appended nothing
     assert appended[0] + appended[1] == len(expected)
 
+    # lineage manifests: one per micro-batch, appended counts match,
+    # and the zero-append re-delivery is itself recorded
+    import json as _json
+    mdir = os.path.join(store, "_INGEST_MANIFESTS")
+    manifests = sorted(os.listdir(mdir))
+    assert len(manifests) == 3
+    by_id = {}
+    for name in manifests:
+        with open(os.path.join(mdir, name)) as f:
+            m = _json.load(f)
+        by_id[m["batch_id"]] = m
+    assert {b: m["appended_triples"] for b, m in by_id.items()} == appended
+    assert all(m["input_rows"] > 0 for m in by_id.values())
+
 
 def test_late_tolerant_turn_counts_stream(spark, tmpdir_ckpt):
     """Watermark + session_window over a file stream: out-of-order
