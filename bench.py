@@ -27,10 +27,48 @@ def _time_count(df_thunk) -> tuple[float, int]:
     return time.time() - t0, n
 
 
+def _steal_cs() -> int:
+    """Cumulative hypervisor-steal centiseconds (/proc/stat cpu line,
+    8th field): nonzero growth during a trial means the shared host
+    ran other tenants inside the measured region."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
+def _cotenant_jvms() -> int:
+    """Count OTHER live JVM processes on the host (co-tenant Spark
+    drivers/executors contend for cores and the memory bus and have
+    inflated driver-visible benches two rounds running — the
+    measurement is self-diagnosing when this is nonzero)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["ps", "-eo", "pid,comm"], capture_output=True, text=True,
+            timeout=10,
+        ).stdout
+    except Exception:
+        return -1
+    me = os.getpid()
+    return sum(
+        1
+        for ln in out.splitlines()[1:]
+        if ln.split() and ln.split()[-1] == "java"
+        and int(ln.split()[0]) != me
+    )
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # pre-flight BEFORE our own JVM exists: any java process now is a
+    # co-tenant whose contention would inflate every wall below
+    cotenants = _cotenant_jvms()
 
     from rkts_migration_spark import queries as _q
     from rkts_migration_spark import queries_ext  # noqa: F401
@@ -77,11 +115,16 @@ def main() -> int:
         return build_triples_inmem(spark, t)
 
     # the host is a shared VM (1-2% mean CPU steal, bursty): identical
-    # runs swing ~2x wall, so the flagship is measured twice and the
-    # min reported (steal/GC only ever add time); both trials listed.
+    # runs swing ~2x wall, so the flagship is measured three times and
+    # the min reported (steal/GC only ever add time); all trials plus
+    # their /proc/stat steal deltas are listed so an inflated reading
+    # is self-diagnosing (VERDICT r3 #2).
     kg_walls = []
-    for _ in range(2):
+    kg_steals = []
+    for _ in range(3):
+        s0 = _steal_cs()
         kg_sec, kg_triples = _time_count(kg_build)
+        kg_steals.append(_steal_cs() - s0)
         kg_walls.append(round(kg_sec, 3))
     kg_sec = min(kg_walls)
     timings["kg_pipeline"] = kg_sec
@@ -102,11 +145,16 @@ def main() -> int:
         "q_nt_lines",
     ]
     qs = _q.queries()
+    q_steals: dict[str, list[int]] = {}
     for name in headliners:
-        sec = min(
-            _time_count(lambda: qs[name](spark, sf_dir))[0] for _ in range(2)
-        )
-        timings[name] = round(sec, 3)
+        walls = []
+        steals = []
+        for _ in range(2):
+            s0 = _steal_cs()
+            walls.append(_time_count(lambda: qs[name](spark, sf_dir))[0])
+            steals.append(_steal_cs() - s0)
+        timings[name] = round(min(walls), 3)
+        q_steals[name] = steals
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -119,6 +167,9 @@ def main() -> int:
         "kg_triples": kg_triples,
         "kg_triples_per_sec": round(kg_triples / kg_sec, 1),
         "kg_all_walls": kg_walls,
+        "kg_all_steal_cs": kg_steals,
+        "query_steal_cs": q_steals,
+        "cotenant_jvms_preflight": cotenants,
     }
     # fold in the latest two-parallelism scaling evidence if measured
     # (scripts/scaling_bench.py writes BENCH/scaling.json)

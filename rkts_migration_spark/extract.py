@@ -37,8 +37,25 @@ MENTION_SCHEMA = "conv_id string, turn_idx int, midx int, matched string"
 # with the trie; switch strategies
 REGEX_MAX_SURFACES = 256
 
+# hard cap on the driver-side gazetteer collect: dictionaries are the
+# designed input (the reference's CSV maps are thousands of rows); a
+# corpus-sized surface table would OOM the driver and needs a
+# distributed trie/join strategy instead, so fail loud, don't limp
+MAX_GAZETTEER_SURFACES = 1_000_000
+
 
 def _normalized_surfaces(gazetteer: DataFrame) -> list[str]:
+    # bounded probe first (limit pushes down): detect an over-cap input
+    # for the cost of cap+1 rows, BEFORE the full collect
+    probe = gazetteer.select("surface").limit(MAX_GAZETTEER_SURFACES + 1).count()
+    if probe > MAX_GAZETTEER_SURFACES:
+        raise ValueError(
+            f"gazetteer has > {MAX_GAZETTEER_SURFACES:,} surfaces — too large "
+            "to broadcast as a driver-built trie; route it through a "
+            "distributed strategy (tokenize turns and equi-join surfaces, "
+            "or build per-partition tries with mapInPandas over a "
+            "broadcast-partitioned dictionary)"
+        )
     return sorted(
         {V.norm_surface(r["surface"]) for r in gazetteer.select("surface").collect()}
     )

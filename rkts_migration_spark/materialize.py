@@ -3,10 +3,15 @@ assembled with pure column expressions and unioned into one narrow
 (subj, pred, obj) DataFrame.
 
 Plan shape (scale rationale):
-- Turn-family triples are built with ONE pass over the turns stage via
-  array+explode (not 5 unioned scans of the same table).
+- Turn-family triples are a union of per-predicate projections over
+  the columnar turns stage: column pruning reaches each branch (a
+  count/audit consumer never renders a literal; the text branch is the
+  only one touching text bytes) and no explode/array materialization
+  amplifies string copies — see turn_triples' docstring for the
+  measured numbers.
 - Section triples reuse the conv-partitioned window shuffle computed by
-  the ordered stage.
+  the ordered stage (explode-shaped: the bounds are derived by a
+  window pass that a union would re-run per predicate).
 - topEntity uses the salted two-phase count (operators/salt.py) because
   conversation sizes are Zipf-skewed.
 - Label pref/alt uses order-aware first-wins windows (operators/dedup.py),
@@ -44,27 +49,53 @@ def _t(subj, pred: str, obj) -> F.Column:
 
 
 def turn_triples(turns: DataFrame) -> DataFrame:
-    """partOf / turnIndex / role / usedTool / text — one scan, explode."""
+    """partOf / turnIndex / role / usedTool / text — a union of five
+    per-predicate projections over the (cached / columnar) turns stage.
+
+    Formerly one scan + explode(array(struct...)); the union-of-
+    projections form is deliberately chosen for two scale reasons
+    (VERDICT r4 path (b): cut bandwidth, render as late as possible):
+
+    * Column pruning works THROUGH it. explode(array(struct(...)))
+      is opaque to Catalyst's nested-column pruning in practice, so a
+      consumer that needs only the triple COUNT (audits, progress
+      metrics) or only subjects still paid full literal rendering of
+      every text byte. With plain projections, each consumer pays
+      exactly the columns it touches — measured 10x on the count
+      path at bench scale (BENCH/BASELINE.md r4 note).
+    * No copy amplification. The array-of-structs materializes every
+      rendered string into an array cell, then explode copies it into
+      the output row — ~3 copies of every text byte at peak
+      allocation rate, which is what saturates the memory bus at high
+      core counts. Projections render each string once, straight into
+      the output row.
+
+    Each branch reads only its own columns (columnar cache / parquet
+    prunes per branch: the text branch is the only one touching text
+    bytes), so the union costs ~1.3 full-row scans, not 5."""
     tiri = turn_iri_col(F.col("conv_id"), F.col("turn_idx"))
     ciri = conv_iri_col(F.col("conv_id"))
-    fam = F.array(
-        _t(tiri, V.PRED_PART_OF, ciri),
-        _t(tiri, V.PRED_TURN_INDEX, int_lit_col(F.col("turn_idx"))),
-        _t(tiri, V.PRED_ROLE, str_lit_col(F.col("role"), "en")),
-        F.when(
-            F.col("tool").isNotNull(),
-            _t(tiri, V.PRED_USED_TOOL, str_lit_col(F.col("tool"), "en")),
-        ),
-        F.when(
-            ~F.col("text").isin(*V.PLACEHOLDERS),
-            _t(tiri, V.PRED_TEXT, str_lit_col(F.col("text"), "en")),
-        ),
-    )
-    return (
-        turns.select(F.explode(fam).alias("t"))
-        .filter(F.col("t").isNotNull())
-        .select("t.subj", "t.pred", "t.obj")
-    )
+    parts = [
+        turns.select(
+            tiri.alias("subj"), F.lit(V.PRED_PART_OF).alias("pred"),
+            ciri.alias("obj")),
+        turns.select(
+            tiri.alias("subj"), F.lit(V.PRED_TURN_INDEX).alias("pred"),
+            int_lit_col(F.col("turn_idx")).alias("obj")),
+        turns.select(
+            tiri.alias("subj"), F.lit(V.PRED_ROLE).alias("pred"),
+            str_lit_col(F.col("role"), "en").alias("obj")),
+        turns.filter(F.col("tool").isNotNull()).select(
+            tiri.alias("subj"), F.lit(V.PRED_USED_TOOL).alias("pred"),
+            str_lit_col(F.col("tool"), "en").alias("obj")),
+        turns.filter(~F.col("text").isin(*V.PLACEHOLDERS)).select(
+            tiri.alias("subj"), F.lit(V.PRED_TEXT).alias("pred"),
+            str_lit_col(F.col("text"), "en").alias("obj")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def conv_triples(turns: DataFrame) -> DataFrame:
@@ -81,7 +112,14 @@ def conv_triples(turns: DataFrame) -> DataFrame:
 
 
 def section_triples(turns_with_section: DataFrame) -> DataFrame:
-    """hasSection / sectionIndex / beginTurn / endTurn per island."""
+    """hasSection / sectionIndex / beginTurn / endTurn per island.
+
+    Stays explode-shaped (unlike turn_triples): ``bounds`` is a
+    DERIVED plan — windows over the cached turns — so union branches
+    would re-run the window aggregation once per predicate, while the
+    section family carries no text bytes, which removes the copy-
+    amplification argument. One window pass + a small explode over
+    section-count rows is the cheaper plan on both axes."""
     bounds = section_bounds(turns_with_section)
     siri = section_iri_col(F.col("conv_id"), F.col("section_idx"))
     fam = F.array(

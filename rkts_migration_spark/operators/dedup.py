@@ -349,7 +349,14 @@ def jaccard_pairs_from_postings(
     source is scanned once and the anti join runs once; at 100 TB
     this disk-backed materialization is the same stage-table pattern
     a production dedup run uses. Pass ``cache=False`` to keep the
-    plan fully recomputed (e.g. when the caller already persists)."""
+    plan fully recomputed (e.g. when the caller already persists).
+    The persisted handle is attached to the result — call
+    operators/caching.release_cached_deps(result) after the consuming
+    action to free it (chained passes in one session otherwise
+    accumulate cached stage tables)."""
+    from .caching import attach_cached_deps
+
+    deps = []
     if max_df is not None:
         hot = (
             postings.groupBy(token_col)
@@ -360,6 +367,7 @@ def jaccard_pairs_from_postings(
         postings = postings.join(F.broadcast(hot), token_col, "left_anti")
     if cache:
         postings = postings.persist()
+        deps.append(postings)
     sizes = postings.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_words"))
     a, b = postings.alias("a"), postings.alias("b")
     inter = (
@@ -372,7 +380,7 @@ def jaccard_pairs_from_postings(
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_words").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_words").alias("nb"))
     union_sz = F.col("na") + F.col("nb") - F.col("n_inter")
-    return (
+    out = (
         inter.join(sa, "doc_a").join(sb, "doc_b")
         .filter(F.col("n_inter") * 100 >= union_sz * threshold_pct)
         .select(
@@ -382,6 +390,7 @@ def jaccard_pairs_from_postings(
             .cast("double").alias("jaccard"),
         )
     )
+    return attach_cached_deps(out, deps)
 
 
 def jaccard_pairs(
@@ -474,12 +483,16 @@ def neardup_candidates(
     (Spark has no cross-DAG subtree reuse) — at k=128/bands=16 that
     is 32 signature recomputations for one candidate pass. The
     cached table is narrow: one row per doc, bands bucket hashes."""
+    from .caching import attach_cached_deps
+
+    deps = []
     buckets = minhash_band_buckets(
         df, text_col, id_col, k=k, bands=bands, shingle_n=shingle_n,
         use_xxhash=use_xxhash,
     )
     if cache:
         buckets = buckets.persist()
+        deps.append(buckets)
     hot = None
     if max_bucket is not None:
         posted = buckets.select(
@@ -493,6 +506,7 @@ def neardup_candidates(
             .select("_band", "_bk")
             .persist()
         )
+        deps.append(hot)
     cand = None
     for b in range(bands):
         a_side = buckets.select(F.col(id_col).alias("doc_a"),
@@ -507,7 +521,7 @@ def neardup_candidates(
              .filter(F.col("doc_a") < F.col("doc_b"))
              .select("doc_a", "doc_b"))
         cand = p if cand is None else cand.unionByName(p)
-    return cand.distinct()
+    return attach_cached_deps(cand.distinct(), deps)
 
 
 def neardup_verified_edges(
@@ -531,12 +545,16 @@ def neardup_verified_edges(
     three consumers (both sides of the pair join + the size agg) and
     would otherwise be re-derived from the source per consumer — see
     jaccard_pairs_from_postings for the measured no-reuse behavior."""
+    from .caching import attach_cached_deps
+
+    deps = []
     postings = df.filter(F.length(text_col) > 0).select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("_w"),
     )
     if cache:
         postings = postings.persist()
+        deps.append(postings)
     sizes = postings.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     pa = postings.select(F.col(id_col).alias("doc_a"), "_w")
     pb = postings.select(F.col(id_col).alias("doc_b"), "_w")
@@ -549,11 +567,12 @@ def neardup_verified_edges(
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("_n").alias("_na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("_n").alias("_nb"))
     union = F.col("_na") + F.col("_nb") - F.col("_inter")
-    return (
+    out = (
         inter.join(sa, "doc_a").join(sb, "doc_b")
         .filter(F.col("_inter") * 100 >= union * threshold_pct)
         .select("doc_a", "doc_b")
     )
+    return attach_cached_deps(out, deps)
 
 
 def neardup_clusters(
@@ -580,25 +599,38 @@ def neardup_clusters(
     CC labels travel as strings internally, so ids are zero-padded to
     int64 width (pad_id_col, the cc.py convention) before components
     run and mapped back after — callers need no ordering precondition
-    ('9' vs '10' resolves numerically)."""
+    ('9' vs '10' resolves numerically). The node encoding appends the
+    RAW id after a \\x1f separator so it stays collision-free: two
+    distinct ids that pad identically ('doc7' vs 'doc007' — leading
+    zeros in the first digit run are absorbed by the pad) remain
+    distinct nodes; the pad is still the primary sort key, so the
+    representative is the numeric-min id with raw-string tiebreak."""
     from ..functions.ids import pad_id_col
+    from .caching import attach_cached_deps, cached_deps_of, release_cached_deps
 
     def _pad(c):
-        return pad_id_col(c.cast("string"), width=19)
+        s = c.cast("string")
+        return F.concat(pad_id_col(s, width=19), F.lit("\x1f"), s)
 
     ids = df.select(F.col(id_col)).distinct()
     cand = neardup_candidates(
         df, text_col, id_col, k=k, bands=bands, shingle_n=shingle_n,
         use_xxhash=use_xxhash,
     )
-    edges = neardup_verified_edges(
+    verified = neardup_verified_edges(
         df, cand, text_col, id_col, threshold_pct=threshold_pct,
-    ).select(_pad(F.col("doc_a")).alias("src"),
-             _pad(F.col("doc_b")).alias("dst"))
+    )
+    edges = verified.select(_pad(F.col("doc_a")).alias("src"),
+                            _pad(F.col("doc_b")).alias("dst"))
+    attach_cached_deps(edges, cached_deps_of(cand) + cached_deps_of(verified))
 
     from .cc import connected_components
 
+    # connected_components localCheckpoints its inputs eagerly, so the
+    # candidate/postings caches are fully consumed once it returns —
+    # release them here instead of leaking them to the caller.
     comp = connected_components(edges)
+    release_cached_deps(edges)
     idmap = ids.select(F.col(id_col), _pad(F.col(id_col)).alias("_pid"))
     # padded representative label -> original id, for the map-back
     reps = idmap.select(F.col("_pid").alias("component"),

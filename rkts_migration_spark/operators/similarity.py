@@ -120,7 +120,13 @@ def lsh_topk_multitable(
     each side is referenced by all L per-table bucketings (different
     plane seeds — genuine per-table work) plus the final scoring
     join, and without the persist every reference re-scans and
-    re-quantizes the source (no cross-DAG subtree reuse in Spark)."""
+    re-quantizes the source (no cross-DAG subtree reuse in Spark).
+    The handles are attached to the result; call
+    operators/caching.release_cached_deps(result) after the consuming
+    action to free them."""
+    from .caching import attach_cached_deps
+
+    deps = []
     qv = queries.select(
         F.col(id_col).alias("query_id"),
         _quantized(F.col(vec_col)).alias("qv"), F.col(vec_col).alias("_qraw"))
@@ -130,6 +136,7 @@ def lsh_topk_multitable(
     if cache:
         qv = qv.persist()
         bv = bv.persist()
+        deps += [qv, bv]
     cand = None
     for t in range(n_tables):
         qb = lsh_bucket(
@@ -159,11 +166,12 @@ def lsh_topk_multitable(
     cos = F.col("dot").cast("double") / F.sqrt(
         F.col("qn").cast("double") * F.col("bn").cast("double"))
     w = Window.partitionBy("query_id").orderBy(cos.desc(), F.col("neighbor_id"))
-    return (
+    out = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round(cos, 4).alias("cosine"))
     )
+    return attach_cached_deps(out, deps)
 
 
 def kmeans_centroids(

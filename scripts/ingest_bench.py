@@ -1,11 +1,22 @@
 """Measure continuous KG construction (streaming/incremental.
-stream_kg_ingest) at bench scale: the sf0.1 transcript table split
-into 4 conv-complete micro-batches plus an exact RE-DELIVERY of the
-first batch, streamed through foreachBatch -> pipeline ->
-merge_triples delta append.
+stream_kg_ingest) at bench scale, two phases:
 
-Reports per-batch wall + appended triples, end-state duplicate-
-freedom, and the idempotency number (re-delivered batch appends 0).
+1. Throughput + idempotency: the sf0.1 transcript table split into 4
+   conv-complete micro-batches plus an exact RE-DELIVERY of the first
+   batch, streamed through foreachBatch -> pipeline -> bucket-pruned
+   delta append. Reports per-batch wall + appended triples, end-state
+   duplicate-freedom, and the idempotency number (re-delivery appends
+   0).
+
+2. Store-growth independence (VERDICT r3 #2): the SAME small
+   conversation drop is ingested into two pre-seeded bucketed stores,
+   one 10x the other. Because the anti-join prunes to the buckets the
+   drop touches, per-batch wall must stay ~flat and the store-side
+   scan volume (bucket dirs / files / bytes read, straight from the
+   ingest manifests) must track the DROP's bucket footprint, not the
+   store size. This is the evidence that per-batch cost is ∝ batch,
+   not ∝ store.
+
 Writes BENCH/ingest_bench.json. Usage: python scripts/ingest_bench.py
 """
 
@@ -23,6 +34,100 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 N_BATCHES = 4
 WORK = "/tmp/kg_ingest_bench"
+
+
+GROWTH_BUCKETS = 1024
+SEED_ROWS_1X = 500_000
+
+
+def _seed_store(spark, path: str, n_rows: int) -> None:
+    """Synthetic pre-seeded bucketed store (setup, untimed): n_rows
+    disjoint triples whose subjects never collide with pipeline IRIs,
+    laid out exactly as stream_kg_ingest writes them."""
+    from pyspark.sql import functions as F
+
+    from rkts_migration_spark.operators.graph import (
+        TRIPLE_BUCKET_COL,
+        with_triple_bucket,
+    )
+
+    df = spark.range(n_rows).select(
+        F.concat(F.lit("http://synth.example/node/"), F.col("id")).alias("subj"),
+        F.lit("http://synth.example/pred/p").alias("pred"),
+        F.concat(F.lit('"v'), F.col("id"), F.lit('"')).alias("obj"),
+    )
+    (with_triple_bucket(df, GROWTH_BUCKETS)
+     .repartition(64, TRIPLE_BUCKET_COL)
+     .write.mode("overwrite").partitionBy(TRIPLE_BUCKET_COL).parquet(path))
+
+
+def _store_growth_phase(spark) -> dict:
+    """Ingest the SAME 2-conversation drop into a 1x- and a 10x-seeded
+    store; report wall + manifest scan stats at both sizes."""
+    import glob
+
+    from rkts_migration_spark.fixtures import (
+        TRANSCRIPT_DDL,
+        fixtures_to_spark,
+        make_fixtures,
+    )
+    from rkts_migration_spark.streaming import (
+        stream_from_directory,
+        stream_kg_ingest,
+    )
+
+    fx = make_fixtures(seed=13, n_convs=2)
+    tables = fixtures_to_spark(spark, fx)
+    dicts = {k: v for k, v in tables.items() if k != "transcripts"}
+
+    results = {}
+    for label, n_seed in (("store_1x", SEED_ROWS_1X),
+                          ("store_10x", SEED_ROWS_1X * 10)):
+        root = os.path.join(WORK, f"growth_{label}")
+        store = os.path.join(root, "store")
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        _seed_store(spark, store, n_seed)
+        tables["transcripts"].coalesce(1).write.mode("append").parquet(src)
+
+        walls: list[float] = []
+        last = [time.monotonic()]
+
+        def on_batch(bid: int, n: int, _last=last, _walls=walls) -> None:
+            now = time.monotonic()
+            _walls.append(round(now - _last[0], 3))
+            _last[0] = now
+
+        q = stream_kg_ingest(
+            stream_from_directory(spark, src, TRANSCRIPT_DDL),
+            dicts, store, os.path.join(root, "ckpt"),
+            on_batch=on_batch, n_buckets=GROWTH_BUCKETS)
+        q.awaitTermination(600)
+
+        manifest = sorted(glob.glob(
+            os.path.join(store, "_INGEST_MANIFESTS", "*.json")))[-1]
+        with open(manifest) as f:
+            m = json.load(f)
+        results[label] = {
+            "seed_rows": n_seed,
+            "batch_wall_sec": walls[0],
+            "appended": m["appended_triples"],
+            "store_buckets_total": m["store_buckets_total"],
+            "store_buckets_read": m["store_buckets_read"],
+            "store_files_read": m["store_files_read"],
+            "store_bytes_read": m["store_bytes_read"],
+        }
+
+    r1, r10 = results["store_1x"], results["store_10x"]
+    results["wall_ratio_10x_over_1x"] = round(
+        r10["batch_wall_sec"] / r1["batch_wall_sec"], 3)
+    results["buckets_read_fraction_10x"] = round(
+        r10["store_buckets_read"] / r10["store_buckets_total"], 4)
+    # the claim under test: same drop => same bucket footprint at any
+    # store size, and the wall doesn't scale with the store
+    assert r1["store_buckets_read"] == r10["store_buckets_read"], results
+    assert r1["appended"] == r10["appended"] > 0, results
+    return results
 
 
 def main() -> int:
@@ -86,7 +191,7 @@ def main() -> int:
 
     got = spark.read.parquet(store)
     n_rows = got.count()
-    n_distinct = got.distinct().count()
+    n_distinct = got.select("subj", "pred", "obj").distinct().count()
     total = sum(b["appended"] for b in batches)
     out = {
         "metric": "kg_ingest_throughput",
@@ -104,6 +209,8 @@ def main() -> int:
     }
     assert n_rows == n_distinct == total, out
     assert out["redelivery_appended"] == 0, out
+
+    out["store_growth_independence"] = _store_growth_phase(spark)
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH", "ingest_bench.json")
     with open(path, "w") as f:

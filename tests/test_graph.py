@@ -115,3 +115,119 @@ def test_compact_labels_restores_invariant(spark):
     twice = {tuple(r) for r in
              compact_labels(compact_labels(store)).collect()}
     assert twice == got
+
+
+def test_compact_labels_keeps_multiple_alt_labels(spark):
+    """altLabel is legitimately multi-valued per (entity, lang) — one
+    triple per distinct normalized surface (materialize.label_triples).
+    The default compaction must NOT collapse them (ADVICE r3): only
+    prefLabel has the one-per-lang invariant."""
+    from rkts_migration_spark import vocab as V
+    from rkts_migration_spark.operators.graph import compact_labels
+
+    schema = "subj string, pred string, obj string"
+    store = spark.createDataFrame(
+        [
+            ("e1", V.PRED_ALT_LABEL, '"Brown"@en'),
+            ("e1", V.PRED_ALT_LABEL, '"Ale"@en'),     # 2nd alt, same lang
+            ("e1", V.PRED_ALT_LABEL, '"Otra"@es'),
+            ("e1", V.PRED_PREF_LABEL, '"Zeta"@en'),
+            ("e1", V.PRED_PREF_LABEL, '"Beta"@en'),   # pref dup compacts
+        ],
+        schema,
+    )
+    got = {tuple(r) for r in compact_labels(store).collect()}
+    assert got == {
+        ("e1", V.PRED_ALT_LABEL, '"Brown"@en'),
+        ("e1", V.PRED_ALT_LABEL, '"Ale"@en'),
+        ("e1", V.PRED_ALT_LABEL, '"Otra"@es'),
+        ("e1", V.PRED_PREF_LABEL, '"Beta"@en'),
+    }
+
+
+def test_pagerank_directed_dangling_mass_conserved(spark):
+    """Directed graph with a dangling node (no out-edges): the dangling
+    redistribution keeps total mass at the damped fixed point instead
+    of leaking it. Bound: each of the ~(|E| + 2N + 2) integer
+    divisions per iteration loses < 1 micro-unit."""
+    # a -> b -> c, c dangling; d isolated via d -> a
+    pairs = [("a", "b"), ("b", "c"), ("d", "a")]
+    iters = 5
+    ranks = {
+        r["node"]: r["rank_u"]
+        for r in pagerank_fixed_point(
+            _edges(spark, pairs), iterations=iters, directed=True
+        ).collect()
+    }
+    total = sum(ranks.values())
+    n, e = 4, 3
+    slack = iters * (e + 2 * n + 2)
+    assert PR_SCALE >= total > PR_SCALE - slack
+    # sanity: without redistribution the same graph leaks hard
+    leaky_total = PR_SCALE * 0.9
+    assert total > leaky_total
+
+
+def test_pagerank_early_stop_matches_fixed_schedule(spark):
+    """tol_u early stop: with tol_u=0 the loop still terminates at the
+    converged fixpoint and equals a long fixed schedule; a huge tol_u
+    stops after one step."""
+    pairs = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")]
+    fixed = sorted(map(tuple, pagerank_fixed_point(
+        _edges(spark, pairs), iterations=30).collect()))
+    tol = sorted(map(tuple, pagerank_fixed_point(
+        _edges(spark, pairs), iterations=30, tol_u=0).collect()))
+    assert fixed == tol
+    one_step = sorted(map(tuple, pagerank_fixed_point(
+        _edges(spark, pairs), iterations=1).collect()))
+    lazy = sorted(map(tuple, pagerank_fixed_point(
+        _edges(spark, pairs), iterations=30, tol_u=PR_SCALE).collect()))
+    assert lazy == one_step
+
+
+def test_merge_triples_pruned_bucketed_store(spark, tmp_path):
+    """Bucket-pruned merge: same delta semantics as merge_triples, and
+    the store side physically reads ONLY the touched bucket
+    directories (input_file_name over the pruned view)."""
+    from pyspark.sql import functions as F
+
+    from rkts_migration_spark.operators.graph import (
+        TRIPLE_BUCKET_COL,
+        merge_triples_pruned,
+        prune_store_to_touched,
+        with_triple_bucket,
+    )
+
+    n_buckets = 8
+    schema = "subj string, pred string, obj string"
+    store_rows = [(f"s{i}", "p", f"o{i}") for i in range(64)]
+    store_path = str(tmp_path / "store")
+    (with_triple_bucket(spark.createDataFrame(store_rows, schema), n_buckets)
+     .write.partitionBy(TRIPLE_BUCKET_COL).parquet(store_path))
+    existing = spark.read.parquet(store_path)
+
+    # incoming: one committed triple (s3) + one new one on s3's subject
+    # + one brand-new subject
+    incoming = spark.createDataFrame(
+        [("s3", "p", "o3"), ("s3", "p", "oNEW"), ("sX", "p", "oX")], schema)
+    delta = merge_triples_pruned(existing, incoming, n_buckets)
+    got = {(r["subj"], r["pred"], r["obj"]) for r in delta.collect()}
+    assert got == {("s3", "p", "oNEW"), ("sX", "p", "oX")}
+    # delta carries the bucket column, ready for a partitioned append
+    assert TRIPLE_BUCKET_COL in delta.columns
+
+    # pruning evidence: the pruned store view touches only the
+    # buckets of the incoming subjects
+    inc_b = with_triple_bucket(incoming, n_buckets)
+    pruned, touched = prune_store_to_touched(existing, inc_b)
+    assert set(touched) == {
+        r[0] for r in inc_b.select(TRIPLE_BUCKET_COL).distinct().collect()}
+    files = {r[0] for r in
+             pruned.select(F.input_file_name()).distinct().collect()}
+    assert files, "pruned store scan read no files"
+    for f in files:
+        assert any(f"{TRIPLE_BUCKET_COL}={b}/" in f for b in touched), f
+    # and the physical plan prunes partitions, not post-filters rows
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert f"{TRIPLE_BUCKET_COL}#" in plan
+    assert "PartitionFilters" in plan

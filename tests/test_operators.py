@@ -431,6 +431,87 @@ def test_neardup_clusters_numeric_ids(spark):
     assert rows[3] == (3, True)
 
 
+def test_neardup_clusters_leading_zero_ids_stay_distinct(spark):
+    """'doc7' vs 'doc007' pad to the same digit run — the internal CC
+    node encoding must keep them distinct (raw-id tiebreak suffix,
+    ADVICE r3) so unrelated docs are never merged and no duplicate
+    output rows appear."""
+    from rkts_migration_spark.operators.dedup import neardup_clusters
+
+    docs = [
+        ("doc7", "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),
+        ("doc007", "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"),  # unrelated text
+        ("E12", "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+        ("E0012", "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),   # true near-dup pair
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = neardup_clusters(df, k=16, bands=16, shingle_n=1,
+                           threshold_pct=80)
+    rows = out.collect()
+    assert len(rows) == len(docs)  # exactly one output row per input id
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in rows}
+    # unrelated docs keep separate singleton clusters
+    assert got["doc7"] == ("doc7", True)
+    assert got["doc007"] == ("doc007", True)
+    # the REAL near-dup pair merges; representative is the padded-min
+    # with raw tiebreak ('E0012' < 'E12' once digit runs equal)
+    assert got["E0012"] == ("E0012", True)
+    assert got["E12"] == ("E0012", False)
+
+
+def test_dedup_cached_deps_released(spark):
+    """Operators that persist load-bearing intermediates attach the
+    handles to their result; release_cached_deps frees every one
+    (ADVICE r3: chained passes must not accumulate cached tables)."""
+    from rkts_migration_spark.operators.caching import (
+        cached_deps_of,
+        release_cached_deps,
+    )
+    from rkts_migration_spark.operators.dedup import (
+        jaccard_pairs,
+        neardup_candidates,
+    )
+
+    docs = [(f"d{i}", "a b c d e f g h") for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+
+    pairs = jaccard_pairs(df, threshold_pct=80, max_df=None)
+    pairs.count()
+    deps = cached_deps_of(pairs)
+    assert deps and all(d.storageLevel.useMemory or d.storageLevel.useDisk
+                        for d in deps)
+    assert release_cached_deps(pairs) == len(deps)
+    assert all(not (d.storageLevel.useMemory or d.storageLevel.useDisk)
+               for d in deps)
+    assert release_cached_deps(pairs) == 0  # idempotent
+
+    cand = neardup_candidates(df, k=8, bands=8, shingle_n=1)
+    cand.count()
+    deps = cached_deps_of(cand)
+    assert len(deps) == 2  # band-bucket table + hot-bucket list
+    assert release_cached_deps(cand) == 2
+    assert all(not (d.storageLevel.useMemory or d.storageLevel.useDisk)
+               for d in deps)
+
+
+def test_gazetteer_collect_guard(spark):
+    """extract's driver-side surface collect fails loud above the cap
+    instead of OOMing the driver on a corpus-sized gazetteer."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from rkts_migration_spark.extract import (
+        MAX_GAZETTEER_SURFACES,
+        _normalized_surfaces,
+    )
+
+    big = spark.range(MAX_GAZETTEER_SURFACES + 1).select(
+        F.concat(F.lit("surface "), F.col("id")).alias("surface"))
+    with pytest.raises(ValueError, match="distributed strategy"):
+        _normalized_surfaces(big)
+
+
 def test_conversations_as_documents_stable_bytes(spark):
     """Document bytes are a pure function of the data: identical under
     repartitioning (array_sort on turn_idx, not collect order), role
