@@ -73,20 +73,22 @@ def main() -> int:
         return round(num / den, 4)
 
     results = {}
-    lsh_sec, lsh, lsh_df = timed(
-        lambda: lsh_topk_multitable(
-            queries, base, dim=DIM, k=K, n_planes=8, n_tables=4))
-    release_cached_deps(lsh_df)
-    results["lsh_multitable"] = {
-        "config": {"n_planes": 8, "n_tables": 4},
-        "recall_at_k": recall(lsh),
-        "wall_sec": round(lsh_sec, 3),
-    }
+    for n_planes, n_tables in ((8, 4), (6, 8), (4, 16)):
+        lsh_sec, lsh, lsh_df = timed(
+            lambda: lsh_topk_multitable(
+                queries, base, dim=DIM, k=K,
+                n_planes=n_planes, n_tables=n_tables))
+        release_cached_deps(lsh_df)
+        results[f"lsh_p{n_planes}t{n_tables}"] = {
+            "config": {"n_planes": n_planes, "n_tables": n_tables},
+            "recall_at_k": recall(lsh),
+            "wall_sec": round(lsh_sec, 3),
+        }
 
     t0 = time.time()
     cents = kmeans_centroids(base, n_cells=16)
     fit_sec = time.time() - t0
-    for n_probe in (1, 4):
+    for n_probe in (1, 4, 8):
         ivf_sec, ivf, _ = timed(
             lambda: ivf_topk(
                 queries, base, k=K, n_probe=n_probe, centroids=cents))
@@ -105,6 +107,10 @@ def main() -> int:
         "dim": DIM,
         "sf": SF_DIR,
         "parallelism": int(CPUS),
+        # context for absolute recall: the synthetic embeddings are
+        # near-uniform on the sphere, the hardest regime for ANN — a
+        # random candidate set would hit k/n
+        "random_baseline_recall": round(K / n_base, 4),
         "exact_wall_sec": round(exact_sec, 3),
         "variants": results,
     }
