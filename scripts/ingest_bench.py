@@ -173,14 +173,25 @@ def main() -> int:
              fixtures_to_spark(spark, make_fixtures(seed=42, n_convs=1)).items()
              if k != "transcripts"}
 
+    def _steal_cs() -> int:
+        # per-batch /proc/stat steal delta: same self-diagnosis as
+        # bench.py / scaling_bench.py — a polluted batch wall carries
+        # its own receipt
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+
     batches: list[dict] = []
     last = [time.monotonic()]
+    last_steal = [_steal_cs()]
 
     def on_batch(bid: int, n: int) -> None:
         now = time.monotonic()
+        s = _steal_cs()
         batches.append({"batch": bid, "appended": n,
-                        "wall_sec": round(now - last[0], 3)})
+                        "wall_sec": round(now - last[0], 3),
+                        "steal_cs": s - last_steal[0]})
         last[0] = now
+        last_steal[0] = s
 
     t0 = time.monotonic()
     q = stream_kg_ingest(
