@@ -118,14 +118,28 @@ def main() -> int:
     # runs swing ~2x wall, so the flagship is measured three times and
     # the min reported (steal/GC only ever add time); all trials plus
     # their /proc/stat steal deltas are listed so an inflated reading
-    # is self-diagnosing (VERDICT r3 #2).
+    # is self-diagnosing (VERDICT r3 #2). If EVERY base trial was
+    # storm-hit (steal above STORM_STEAL_CS), up to two bounded extra
+    # trials run so a single hypervisor burst inside the measurement
+    # window doesn't get recorded as the capability (VERDICT r4 #4);
+    # min-over-all semantics are unchanged and every trial is listed.
+    STORM_STEAL_CS = 100
     kg_walls = []
     kg_steals = []
-    for _ in range(3):
+
+    def one_trial():
         s0 = _steal_cs()
-        kg_sec, kg_triples = _time_count(kg_build)
+        sec, n = _time_count(kg_build)
         kg_steals.append(_steal_cs() - s0)
-        kg_walls.append(round(kg_sec, 3))
+        kg_walls.append(round(sec, 3))
+        return n
+
+    for _ in range(3):
+        kg_triples = one_trial()
+    extra = 0
+    while min(kg_steals) > STORM_STEAL_CS and extra < 2:
+        extra += 1
+        kg_triples = one_trial()
     kg_sec = min(kg_walls)
     timings["kg_pipeline"] = kg_sec
 
@@ -168,6 +182,7 @@ def main() -> int:
         "kg_triples_per_sec": round(kg_triples / kg_sec, 1),
         "kg_all_walls": kg_walls,
         "kg_all_steal_cs": kg_steals,
+        "kg_storm_extra_trials": extra,
         "query_steal_cs": q_steals,
         "cotenant_jvms_preflight": cotenants,
     }

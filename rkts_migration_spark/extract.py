@@ -45,10 +45,13 @@ MAX_GAZETTEER_SURFACES = 1_000_000
 
 
 def _normalized_surfaces(gazetteer: DataFrame) -> list[str]:
-    # bounded probe first (limit pushes down): detect an over-cap input
-    # for the cost of cap+1 rows, BEFORE the full collect
-    probe = gazetteer.select("surface").limit(MAX_GAZETTEER_SURFACES + 1).count()
-    if probe > MAX_GAZETTEER_SURFACES:
+    # ONE bounded job: collect at most cap+1 rows (limit pushes down,
+    # so an over-cap input costs cap+1 rows, never a driver OOM) and
+    # reuse the same rows for normalization — a separate count probe
+    # would pay a second full scan of the dictionary in the common
+    # small case (ADVICE r4)
+    rows = gazetteer.select("surface").limit(MAX_GAZETTEER_SURFACES + 1).collect()
+    if len(rows) > MAX_GAZETTEER_SURFACES:
         raise ValueError(
             f"gazetteer has > {MAX_GAZETTEER_SURFACES:,} surfaces — too large "
             "to broadcast as a driver-built trie; route it through a "
@@ -56,9 +59,7 @@ def _normalized_surfaces(gazetteer: DataFrame) -> list[str]:
             "or build per-partition tries with mapInPandas over a "
             "broadcast-partitioned dictionary)"
         )
-    return sorted(
-        {V.norm_surface(r["surface"]) for r in gazetteer.select("surface").collect()}
-    )
+    return sorted({V.norm_surface(r["surface"]) for r in rows})
 
 
 def extract_mentions(turns: DataFrame, gazetteer: DataFrame) -> DataFrame:

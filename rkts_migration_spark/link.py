@@ -48,3 +48,24 @@ def link_mentions(mentions: DataFrame, gazetteer: DataFrame) -> DataFrame:
     return mentions.join(
         F.broadcast(winners), mentions.matched == winners.surf_norm, "inner"
     ).drop("surf_norm")
+
+
+def link_and_canonicalize(
+    mentions: DataFrame, gazetteer: DataFrame, canonical_map: DataFrame
+) -> DataFrame:
+    """link_mentions + apply_canonical in ONE pass over the mention
+    stream: canon_id is a pure function of entity_id, which is a pure
+    function of the matched surface, so the canonical join composes
+    onto the gazetteer-sized winners DIMENSION (driver-cheap) and the
+    23M-row (at sf0.1; ~10^12-turn-proportional in production) mention
+    stream pays a single broadcast hash join instead of two
+    back-to-back ones. Output schema and values are identical to
+    apply_canonical(link_mentions(...), ...)."""
+    from .canonicalize import apply_canonical
+
+    winners = apply_canonical(
+        surface_winners(gazetteer), canonical_map, "entity_id", "canon_id"
+    )
+    return mentions.join(
+        F.broadcast(winners), mentions.matched == winners.surf_norm, "inner"
+    ).drop("surf_norm")

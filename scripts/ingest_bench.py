@@ -17,6 +17,15 @@ stream_kg_ingest) at bench scale, two phases:
    store size. This is the evidence that per-batch cost is ∝ batch,
    not ∝ store.
 
+3. Small-file bound under many batches (VERDICT r4 #3): 20 disjoint
+   micro-batches (20x the phase-2 batch count) into one store — each
+   appends ~1 file per touched bucket, so hot buckets accumulate ~1
+   file per batch — then compact_store_buckets rewrites the oversized
+   buckets. Reports files-per-bucket max/total before vs after and
+   asserts the store's contents (row count + order-free content hash)
+   are unchanged; without the compaction pass a 1,000-batch deployment
+   holds ~10^6 files and listing/open overhead eats the pruning win.
+
 Writes BENCH/ingest_bench.json. Usage: python scripts/ingest_bench.py
 """
 
@@ -130,6 +139,77 @@ def _store_growth_phase(spark) -> dict:
     return results
 
 
+def _compaction_phase(spark) -> dict:
+    """20 disjoint conv drops -> 20 micro-batches into one store with
+    few buckets (so buckets go oversized fast), then bucket-level
+    compaction; contents must be bit-identical (count + hash)."""
+    from pyspark.sql import functions as F
+
+    from rkts_migration_spark.fixtures import (
+        TRANSCRIPT_DDL,
+        fixtures_to_spark,
+        make_fixtures,
+    )
+    from rkts_migration_spark.streaming import (
+        stream_from_directory,
+        stream_kg_ingest,
+    )
+    from rkts_migration_spark.streaming.incremental import (
+        compact_store_buckets,
+        store_bucket_file_counts,
+    )
+
+    n_batches, n_buckets, max_files = 20, 16, 4
+    root = os.path.join(WORK, "compaction")
+    store = os.path.join(root, "store")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    fx = make_fixtures(seed=29, n_convs=2 * n_batches)
+    tables = fixtures_to_spark(spark, fx)
+    dicts = {k: v for k, v in tables.items() if k != "transcripts"}
+    convs = sorted(r["conv_id"] for r in
+                   tables["transcripts"].select("conv_id").distinct().collect())
+    for b in range(n_batches):
+        (tables["transcripts"]
+         .filter(F.col("conv_id").isin(convs[b::n_batches]))
+         .coalesce(1).write.mode("append").parquet(src))
+    q = stream_kg_ingest(
+        stream_from_directory(spark, src, TRANSCRIPT_DDL),
+        dicts, store, os.path.join(root, "ckpt"), n_buckets=n_buckets)
+    q.awaitTermination(1800)
+
+    def content(store_path: str) -> tuple[int, int]:
+        df = spark.read.parquet(store_path)
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("subj", "pred", "obj")).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    before_counts = store_bucket_file_counts(spark, store)
+    n_before, h_before = content(store)
+    t0 = time.monotonic()
+    res = compact_store_buckets(spark, store, max_files_per_bucket=max_files)
+    compact_wall = time.monotonic() - t0
+    after_counts = store_bucket_file_counts(spark, store)
+    n_after, h_after = content(store)
+    assert (n_before, h_before) == (n_after, h_after), "compaction changed contents"
+    assert max(after_counts.values()) <= max_files, after_counts
+    return {
+        "n_batches": n_batches,
+        "n_buckets": n_buckets,
+        "max_files_per_bucket": max_files,
+        "files_total_before": sum(before_counts.values()),
+        "files_total_after": sum(after_counts.values()),
+        "files_per_bucket_max_before": max(before_counts.values()),
+        "files_per_bucket_max_after": max(after_counts.values()),
+        "buckets_rewritten": res["buckets_rewritten"],
+        "compaction_wall_sec": round(compact_wall, 3),
+        "store_rows": n_before,
+        "content_hash_unchanged": True,
+    }
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -222,6 +302,7 @@ def main() -> int:
     assert out["redelivery_appended"] == 0, out
 
     out["store_growth_independence"] = _store_growth_phase(spark)
+    out["small_file_compaction"] = _compaction_phase(spark)
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH", "ingest_bench.json")
     with open(path, "w") as f:

@@ -573,6 +573,191 @@ def test_ivf_kmeans_centroids_beat_demo_quantizer(spark):
     assert cents == kmeans_centroids(base, n_cells=3, sample_n=180, seed=42)
 
 
+def test_stream_kg_ingest_legacy_unbucketed_store(spark, tmpdir_ckpt):
+    """Ingest into a PRE-EXISTING unbucketed store must survive
+    multiple micro-batches (ADVICE r4, high): the legacy branch keeps
+    the append unpartitioned — a partitionBy append into a root with
+    plain part files would leave a mixed layout that crashes the next
+    batch's read — and stays correct (set-union, idempotent). The
+    layout only changes via the explicit migrate_store_to_buckets,
+    after which ingest runs bucket-pruned on the SAME store."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rkts_migration_spark.fixtures import (
+        TRANSCRIPT_DDL,
+        fixtures_to_spark,
+        make_fixtures,
+    )
+    from rkts_migration_spark.operators.graph import TRIPLE_BUCKET_COL
+    from rkts_migration_spark.pipeline import build_triples_inmem
+    from rkts_migration_spark.streaming import (
+        stream_from_directory,
+        stream_kg_ingest,
+    )
+    from rkts_migration_spark.streaming.incremental import (
+        migrate_store_to_buckets,
+    )
+
+    fx = make_fixtures(seed=23, n_convs=9)
+    tables = fixtures_to_spark(spark, fx)
+    tr = tables["transcripts"]
+    convs = sorted(
+        r["conv_id"] for r in tr.select("conv_id").distinct().collect())
+    slices = [tr.filter(F.col("conv_id").isin(convs[i::3]))
+              for i in range(3)]
+    dicts = {k: v for k, v in tables.items() if k != "transcripts"}
+
+    def triple_set(df):
+        return {(r["subj"], r["pred"], r["obj"]) for r in df.collect()}
+
+    # a legacy store: batch-0 triples written UNPARTITIONED
+    store = os.path.join(tmpdir_ckpt, "legacy_store")
+    first = build_triples_inmem(spark, {**dicts, "transcripts": slices[0]})
+    first.select("subj", "pred", "obj").write.parquet(store)
+
+    # two micro-batches into the legacy store (slice 1, then slice 1
+    # re-delivered): batch 2 reads the store batch 1 appended to — the
+    # r4 bug crashed exactly here on the mixed layout
+    src = os.path.join(tmpdir_ckpt, "legacy_src")
+    os.makedirs(src)
+    for drop in (slices[1], slices[1]):
+        drop.coalesce(1).write.mode("append").parquet(src)
+    q = stream_kg_ingest(
+        stream_from_directory(spark, src, TRANSCRIPT_DDL),
+        dicts, store, os.path.join(tmpdir_ckpt, "legacy_ck"))
+    q.awaitTermination(180)
+
+    expected = triple_set(first) | triple_set(
+        build_triples_inmem(spark, {**dicts, "transcripts": slices[1]}))
+    got = spark.read.parquet(store)
+    assert TRIPLE_BUCKET_COL not in got.columns  # layout unchanged
+    assert triple_set(got) == expected
+    assert got.count() == len(expected)  # idempotent re-delivery
+    mdir = os.path.join(store, "_INGEST_MANIFESTS")
+    for name in os.listdir(mdir):
+        with open(os.path.join(mdir, name)) as f:
+            assert _json.load(f)["store_layout"] == "legacy_unbucketed"
+
+    # explicit migration, then ingest slice 2 bucket-pruned
+    res = migrate_store_to_buckets(spark, store, n_buckets=8)
+    assert res["migrated"] and res["rows"] == len(expected)
+    migrated = spark.read.parquet(store)
+    assert TRIPLE_BUCKET_COL in migrated.columns
+    assert triple_set(migrated) == expected
+    assert os.path.isdir(mdir)  # manifests carried over
+    # idempotent: re-running the migration is a no-op
+    assert migrate_store_to_buckets(spark, store, n_buckets=8) == {
+        "migrated": False, "reason": "already bucketed"}
+
+    src2 = os.path.join(tmpdir_ckpt, "post_src")
+    os.makedirs(src2)
+    slices[2].coalesce(1).write.mode("append").parquet(src2)
+    q2 = stream_kg_ingest(
+        stream_from_directory(spark, src2, TRANSCRIPT_DDL),
+        dicts, store, os.path.join(tmpdir_ckpt, "post_ck"), n_buckets=8)
+    q2.awaitTermination(180)
+    expected |= triple_set(
+        build_triples_inmem(spark, {**dicts, "transcripts": slices[2]}))
+    final = spark.read.parquet(store)
+    assert triple_set(final) == expected
+    assert final.count() == len(expected)
+    # the post-migration run wrote its manifest under its OWN run tag
+    # (runs must not clobber each other's lineage); find it by layout
+    layouts = []
+    for name in os.listdir(mdir):
+        with open(os.path.join(mdir, name)) as f:
+            layouts.append(_json.load(f))
+    bucketed = [m for m in layouts if m["store_layout"] == "bucketed"]
+    assert len(bucketed) == 1 and len(layouts) == 3
+    m = bucketed[0]
+    # pruning receipts present and partial: batch touched < total
+    assert 0 < m["store_buckets_read"] <= m["store_buckets_total"] == 8
+
+
+def test_compact_store_buckets_bounds_files(spark, tmpdir_ckpt):
+    """Small-file compaction (VERDICT r4 #3): after many appends a
+    bucket holds many part files; compaction rewrites ONLY oversized
+    buckets, file counts drop to the target, and the store's triple
+    set, row count and bucket assignment are unchanged. With
+    compact_label_invariant=True the one-prefLabel-per-(entity, lang)
+    rule is restored in the same pass, per bucket (subj-hash bucketing
+    makes per-bucket label compaction exact)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rkts_migration_spark import vocab as V
+    from rkts_migration_spark.operators.graph import (
+        TRIPLE_BUCKET_COL,
+        with_triple_bucket,
+    )
+    from rkts_migration_spark.streaming.incremental import (
+        compact_store_buckets,
+        store_bucket_file_counts,
+    )
+
+    store = os.path.join(tmpdir_ckpt, "bucketed_store")
+    n_buckets = 4
+    # 6 appends of 1 file per bucket -> ~6 files per bucket
+    for k in range(6):
+        rows = [(f"s{i}", "p", f"o{i}_{k}") for i in range(32)]
+        (with_triple_bucket(
+            spark.createDataFrame(rows, "subj string, pred string, obj string"),
+            n_buckets)
+         .repartition(F.col(TRIPLE_BUCKET_COL))
+         .write.mode("append").partitionBy(TRIPLE_BUCKET_COL).parquet(store))
+    # plus two conflicting prefLabels for one entity (same bucket by subj)
+    lab = [("E1", V.PRED_PREF_LABEL, '"b label"@en'),
+           ("E1", V.PRED_PREF_LABEL, '"a label"@en')]
+    (with_triple_bucket(
+        spark.createDataFrame(lab, "subj string, pred string, obj string"),
+        n_buckets)
+     .repartition(F.col(TRIPLE_BUCKET_COL))
+     .write.mode("append").partitionBy(TRIPLE_BUCKET_COL).parquet(store))
+
+    before = store_bucket_file_counts(spark, store)
+    assert max(before.values()) >= 6
+    snapshot = {
+        (r["subj"], r["pred"], r["obj"], r[TRIPLE_BUCKET_COL])
+        for r in spark.read.parquet(store).collect()}
+
+    res = compact_store_buckets(
+        spark, store, max_files_per_bucket=2,
+        compact_label_invariant=True)
+    after = store_bucket_file_counts(spark, store)
+    assert res["buckets_rewritten"] == sum(1 for n in before.values() if n > 2)
+    assert max(after.values()) <= 2
+    assert set(after) == set(before)  # no bucket lost or invented
+
+    got = {
+        (r["subj"], r["pred"], r["obj"], r[TRIPLE_BUCKET_COL])
+        for r in spark.read.parquet(store).collect()}
+    # label invariant restored: lexicographic-min prefLabel object wins
+    kept = ("E1", V.PRED_PREF_LABEL, '"a label"@en')
+    dropped = ("E1", V.PRED_PREF_LABEL, '"b label"@en')
+    expected = {t for t in snapshot if t[:3] != dropped}
+    assert any(t[:3] == kept for t in got)
+    assert got == expected
+    # aux dirs cleaned up
+    assert not os.path.exists(os.path.join(store, "_COMPACT_TMP"))
+    assert not os.path.exists(os.path.join(store, "_COMPACT_BACKUP"))
+    # the per-bucket read compaction issues is PartitionFilters-pruned:
+    # one bucket compaction reads ONE bucket directory, not the store
+    single = spark.read.parquet(store).filter(
+        F.col(TRIPLE_BUCKET_COL) == 0).select("subj", "pred", "obj")
+    plan = single._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    files = {r[0] for r in
+             single.select(F.input_file_name()).distinct().collect()}
+    assert files and all(f"{TRIPLE_BUCKET_COL}=0/" in f for f in files)
+    # idempotent: nothing left to rewrite
+    res2 = compact_store_buckets(spark, store, max_files_per_bucket=2)
+    assert res2["buckets_rewritten"] == 0
+
+
 def test_stream_exact_dedup_across_microbatches(spark, tmpdir_ckpt):
     """dropDuplicatesWithinWatermark keyed on the content sha: a
     re-delivered identical document in a LATER micro-batch is dropped;

@@ -185,6 +185,42 @@ def test_pagerank_early_stop_matches_fixed_schedule(spark):
     assert lazy == one_step
 
 
+def test_merge_triples_pruned_recomputes_stale_bucket(spark, tmp_path):
+    """A caller-supplied bucket column computed with a DIFFERENT
+    n_buckets than the store layout must not poison pruning: the
+    operator recomputes the bucket from subj (ADVICE r4), so a
+    committed triple arriving with a stale bucket id still prunes to
+    the RIGHT store partition and is excluded from the delta — the
+    exactly-once-effect invariant."""
+    from rkts_migration_spark.operators.graph import (
+        TRIPLE_BUCKET_COL,
+        merge_triples_pruned,
+        with_triple_bucket,
+    )
+
+    n_buckets = 8
+    schema = "subj string, pred string, obj string"
+    store_rows = [(f"s{i}", "p", f"o{i}") for i in range(64)]
+    store_path = str(tmp_path / "store")
+    (with_triple_bucket(spark.createDataFrame(store_rows, schema), n_buckets)
+     .write.partitionBy(TRIPLE_BUCKET_COL).parquet(store_path))
+    existing = spark.read.parquet(store_path)
+
+    incoming = spark.createDataFrame(
+        [("s3", "p", "o3"), ("sY", "p", "oY")], schema)
+    # poison: bucket ids from a 3-bucket layout on an 8-bucket store
+    stale = with_triple_bucket(incoming, 3)
+    delta = merge_triples_pruned(existing, stale, n_buckets)
+    got = {(r["subj"], r["pred"], r["obj"]) for r in delta.collect()}
+    assert got == {("sY", "p", "oY")}  # committed (s3,p,o3) excluded
+    # and the emitted bucket matches the store layout, not the stale one
+    row = delta.collect()[0]
+    fixed = with_triple_bucket(
+        spark.createDataFrame([("sY", "p", "oY")], schema), n_buckets
+    ).collect()[0]
+    assert row[TRIPLE_BUCKET_COL] == fixed[TRIPLE_BUCKET_COL]
+
+
 def test_merge_triples_pruned_bucketed_store(spark, tmp_path):
     """Bucket-pruned merge: same delta semantics as merge_triples, and
     the store side physically reads ONLY the touched bucket
