@@ -62,8 +62,16 @@ def _normalized_surfaces(gazetteer: DataFrame) -> list[str]:
     return sorted({V.norm_surface(r["surface"]) for r in rows})
 
 
-def extract_mentions(turns: DataFrame, gazetteer: DataFrame) -> DataFrame:
-    surfaces = _normalized_surfaces(gazetteer)
+def extract_mentions(
+    turns: DataFrame,
+    gazetteer: DataFrame,
+    surfaces: list[str] | None = None,
+) -> DataFrame:
+    """``surfaces`` lets callers prefetch the dictionary collect on a
+    background thread (pipeline.py overlaps it with the ordered cache
+    build); when omitted the collect runs inline."""
+    if surfaces is None:
+        surfaces = _normalized_surfaces(gazetteer)
     if len(surfaces) <= REGEX_MAX_SURFACES:
         return extract_mentions_regex(turns, surfaces)
     return extract_mentions_trie(turns, surfaces)

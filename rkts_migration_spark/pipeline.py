@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from .canonicalize import build_abstract_lookup, build_canonical_map
-from .extract import extract_mentions
+from .extract import _normalized_surfaces, extract_mentions
 from .link import link_and_canonicalize
 from .materialize import assemble_triples
 from .operators.sections import with_section_index
@@ -41,32 +41,66 @@ def build_triples_inmem(
     ``ordered`` and ``linked`` feed several triple families each, so
     they are persisted (memory-and-disk) — without this the Python
     extraction stage would re-run once per family, the same work the
-    checkpointed path avoids by writing stage tables."""
+    checkpointed path avoids by writing stage tables.
+
+    The serial driver work — dictionary collect jobs, the union-find
+    fixpoint, and the py4j-heavy construction + eager analysis of the
+    assemble DAG — is parallelism-INDEPENDENT wall: inline it adds the
+    same seconds at every cluster size and caps scaling efficiency
+    (measured: ~3s of inter-job driver gaps at 8 cores inside a 24s
+    wall). It only touches the dimension tables, never the transcript
+    stream, so it runs on a background thread overlapped with the two
+    big cache-build actions; the tiny collect jobs slot into free task
+    slots under the FIFO scheduler."""
+    from concurrent.futures import ThreadPoolExecutor
+
     ordered = with_section_index(tables["transcripts"]).persist()
-    # Eager materialization: the triple families are independent plan
-    # branches that AQE submits CONCURRENTLY; left lazy, their tasks
-    # race to build the same cache partitions and block on the per-
-    # partition cache lock while holding task slots (observed: 4
-    # duplicate 64-task stages spanning the whole extraction phase).
-    # One eager pass each runs extraction exactly once at full
-    # parallelism; every family then reads the finished cache.
-    ordered.count()
-    mentions = extract_mentions(ordered, tables["gazetteer"])
-    canonical_map = build_canonical_map(
-        tables["id_remap"], tables["cross_corpus_map"], tables["same_text_map"]
-    )
+
+    def _dimension_work():
+        canonical_map = build_canonical_map(
+            tables["id_remap"], tables["cross_corpus_map"],
+            tables["same_text_map"],
+        )
+        surfaces = _normalized_surfaces(tables["gazetteer"])
+        return canonical_map, surfaces
+
+    with ThreadPoolExecutor(1) as pool:
+        dim_fut = pool.submit(_dimension_work)
+        # Eager materialization: the triple families are independent
+        # plan branches that AQE submits CONCURRENTLY; left lazy, their
+        # tasks race to build the same cache partitions and block on
+        # the per-partition cache lock while holding task slots
+        # (observed: 4 duplicate 64-task stages spanning the whole
+        # extraction phase). One eager pass each runs extraction
+        # exactly once at full parallelism; every family then reads the
+        # finished cache.
+        ordered.count()
+        canonical_map, surfaces = dim_fut.result()
+
+    mentions = extract_mentions(ordered, tables["gazetteer"], surfaces)
     # one broadcast join over the mention stream (canonicalization is
     # pre-composed onto the winners dimension — see link_and_canonicalize)
     linked = link_and_canonicalize(
         mentions, tables["gazetteer"], canonical_map
     ).persist()
-    linked.count()
-    abstract_lookup = build_abstract_lookup(tables["abstract_map"], canonical_map)
-    return assemble_triples(
-        ordered, linked, canonical_map, abstract_lookup,
-        tables["entity_props"], salt_buckets=salt_buckets,
-        gazetteer=tables["gazetteer"],
-    )
+
+    def _assemble_dag():
+        abstract_lookup = build_abstract_lookup(
+            tables["abstract_map"], canonical_map
+        )
+        return assemble_triples(
+            ordered, linked, canonical_map, abstract_lookup,
+            tables["entity_props"], salt_buckets=salt_buckets,
+            gazetteer=tables["gazetteer"],
+        )
+
+    with ThreadPoolExecutor(1) as pool:
+        # the assemble DAG is hundreds of Column expressions (py4j
+        # round-trips) + eager Catalyst analysis of the union plan —
+        # build it while the linked cache materializes
+        dag_fut = pool.submit(_assemble_dag)
+        linked.count()
+        return dag_fut.result()
 
 
 @dataclass

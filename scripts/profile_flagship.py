@@ -45,10 +45,14 @@ def run_level(cores: int) -> dict:
     from rkts_migration_spark.session import get_spark
     from scripts.scaling_bench import _prepare_input
 
+    # replicate scaling_bench conditions exactly (shuffle partitioning
+    # identical at both levels) so the diagnosis explains the BENCH
+    # number, not a different configuration
+    sp = int(os.environ.get("PROFILE_SHUFFLE_PARTITIONS", "64"))
     spark = get_spark(
         app_name=f"profile-{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=cores * 2,
+        shuffle_partitions=sp,
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": EVENTDIR,
@@ -105,13 +109,31 @@ def run_level(cores: int) -> dict:
                         pass
             stages.append(row)
     return {"cores": cores, "wall_s": round(wall, 2), "triples": n,
-            "stages": stages}
+            "t0_ms": int(cutoff_ms), "t1_ms": int((t0 + wall) * 1000),
+            "app_id": app_id, "stages": stages}
 
 
 def main() -> int:
+    # each level in its own taskset-pinned subprocess, exactly like
+    # scaling_bench: the driver/GC/python workers share the pinned set
+    if len(sys.argv) > 2 and sys.argv[1] == "--run":
+        print("RESULT " + json.dumps(run_level(int(sys.argv[2]))))
+        return 0
     levels = [int(a) for a in sys.argv[1:]] or [2, 8]
     shutil.rmtree(EVENTDIR, ignore_errors=True)
-    out = {"levels": [run_level(c) for c in levels]}
+    import subprocess
+    lvl_results = []
+    for cores in levels:
+        cmd = [sys.executable, os.path.abspath(__file__), "--run", str(cores)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}"] + cmd
+        r = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=1800, check=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        line = [ln for ln in r.stdout.splitlines()
+                if ln.startswith("RESULT ")][-1]
+        lvl_results.append(json.loads(line[len("RESULT "):]))
+    out = {"levels": lvl_results}
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/profile_flagship.json", "w") as f:
         json.dump(out, f, indent=1)

@@ -18,8 +18,12 @@ import sys
 def main() -> int:
     path, cores = sys.argv[1], int(sys.argv[2])
     after = None
+    window = None  # (t0_ms, t1_ms) precise measured region
     if "--after-job" in sys.argv:
         after = int(sys.argv[sys.argv.index("--after-job") + 1])
+    if "--window" in sys.argv:
+        i = sys.argv.index("--window")
+        window = (int(sys.argv[i + 1]), int(sys.argv[i + 2]))
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
     stage_job: dict[int, int] = {}
@@ -58,9 +62,13 @@ def main() -> int:
         return 0
     if after is not None:
         ordered = [(j, v) for j, v in ordered if j >= after]
+    if window is not None:
+        ordered = [(j, v) for j, v in ordered if v["start"] >= window[0]]
 
     t0 = min(v["start"] for _, v in ordered)
     t1 = max(v["end"] for _, v in ordered)
+    if window is not None:
+        t0, t1 = window  # charge driver time before the first job too
     wall = (t1 - t0) / 1e3
     # driver gaps: time not covered by any job interval
     covered = 0
