@@ -29,8 +29,7 @@ def main() -> int:
 
     from rkts_migration_spark.extract import extract_mentions_trie
     from rkts_migration_spark.fixtures import fixtures_to_spark, make_fixtures
-    from rkts_migration_spark.link import link_mentions
-    from rkts_migration_spark.canonicalize import apply_canonical, build_canonical_map
+    from rkts_migration_spark.canonicalize import build_canonical_map
     from rkts_migration_spark.extract import extract_mentions
     from rkts_migration_spark.materialize import mention_triples, build_entity_iri_map
     from rkts_migration_spark.canonicalize import build_abstract_lookup
@@ -60,16 +59,24 @@ def main() -> int:
         plan_of(ordered),
     ))
 
-    # 3. extraction + linking: JVM regex path, broadcast winner join
+    # 3. extraction + linking: JVM regex path, fused broadcast winner join
+    # (the production path — canonicalization pre-composed onto the
+    # winners dimension, so the mention stream pays ONE broadcast join;
+    # InferFiltersFromGenerate is excluded in the session factory, so
+    # the alternation regex is evaluated once per turn, not re-derived
+    # as a size()>0 filter below the Generate)
+    from rkts_migration_spark.link import link_and_canonicalize
+
     mentions = extract_mentions(ordered, tables["gazetteer"])
-    linked = link_mentions(mentions, tables["gazetteer"])
     canonical_map = build_canonical_map(
         tables["id_remap"], tables["cross_corpus_map"], tables["same_text_map"])
-    linked = apply_canonical(linked, canonical_map, "entity_id", "canon_id")
+    linked = link_and_canonicalize(mentions, tables["gazetteer"], canonical_map)
     sections.append((
-        "Extract + link + canonicalize: broadcast-only on the big side",
-        "regexp_extract_all in codegen; gazetteer winners and canonical map "
-        "are BroadcastHashJoins — zero shuffles of the mention stream",
+        "Extract + link + canonicalize (fused): ONE broadcast join on the big side",
+        "regexp_extract_all in codegen, evaluated once per turn (no inferred "
+        "size()>0 re-evaluation below the Generate); the canonical map is "
+        "composed onto the gazetteer-sized winners dimension, so the mention "
+        "stream pays a single BroadcastHashJoin — zero shuffles of the big side",
         plan_of(linked),
     ))
 
