@@ -84,6 +84,8 @@ def run_level(n_exec: int) -> dict:
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
+        # same cache batch size as session.get_spark (measured there)
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "65536")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # same exclusion as session.get_spark: the inferred Generate
         # filter triples the extraction-regex evaluations (see there)
@@ -152,6 +154,8 @@ def _cluster_session(n_exec: int):
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
+        # same cache batch size as session.get_spark (measured there)
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "65536")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.optimizer.excludedRules",
