@@ -147,3 +147,23 @@ def test_merge_triples_is_anti_join_no_broadcast_of_existing(spark):
     assert "BroadcastHashJoin" not in big_plan, big_plan
     assert "NestedLoop" not in big_plan, big_plan
     assert "SortMergeJoin" in big_plan or "ShuffledHashJoin" in big_plan, big_plan
+
+
+def test_session_perf_contract(spark):
+    """The two measured perf-critical session settings are part of the
+    factory's contract (BENCH/BASELINE.md round-5 section): the
+    InferFiltersFromGenerate exclusion (the inferred size()>0 filter
+    re-evaluates the gazetteer alternation regex 3x per turn) and the
+    64Ki columnar-cache batch size (the 10k default pays per-batch
+    setup O(rows/batchSize) per column per consumer on the two
+    corpus-sized persisted intermediates; -11-14% flagship measured).
+    A silent revert of either would ship a measured regression."""
+    assert "InferFiltersFromGenerate" in spark.conf.get(
+        "spark.sql.optimizer.excludedRules"
+    )
+    assert spark.conf.get(
+        "spark.sql.inMemoryColumnarStorage.batchSize") == "65536"
+    # compression must stay ON: disabling it measured SLOWER
+    # end-to-end (bigger cache -> more bus bytes per downstream read)
+    assert spark.conf.get(
+        "spark.sql.inMemoryColumnarStorage.compressed", "true") == "true"
