@@ -117,3 +117,20 @@ def test_pipeline_trie_path_matches_oracle(spark, fx, oracle_triples, monkeypatc
     got = _collect_triples(build_triples_inmem(spark, tables))
     p, r = precision_recall(got, oracle_triples)
     assert p == 1.0 and r == 1.0
+
+
+def test_inmem_background_dimension_error_propagates(spark, fx, monkeypatch):
+    """build_triples_inmem runs the dimension work (gazetteer collect,
+    union-find) on a background thread overlapped with the ordered
+    cache build; a failure there must surface as the original loud
+    error at the call site, not a hang or a downstream symptom. Pin it
+    with the gazetteer-cap guard raised from the background thread."""
+    import pytest as _pytest
+
+    from rkts_migration_spark import extract
+    from rkts_migration_spark.pipeline import build_triples_inmem
+
+    monkeypatch.setattr(extract, "MAX_GAZETTEER_SURFACES", 2)
+    tables = fixtures_to_spark(spark, fx)
+    with _pytest.raises(ValueError, match="distributed strategy"):
+        build_triples_inmem(spark, tables)
