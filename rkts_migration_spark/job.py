@@ -34,6 +34,10 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["ordered", "mentions", "linked"],
                     help="stop at a stage boundary (kill-and-resume testing)")
     ap.add_argument("--salt-buckets", type=int, default=16)
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
+                    help="spark.sql.shuffle.partitions override; default: "
+                         "session-factory heuristic (cores when local, 200 "
+                         "+ AQE coalesce on a cluster)")
     ap.add_argument("--nt-out", default=None,
                     help="also write the graph as N-Triples text lines "
                          "to this dir (the reference's global.nt sink, "
@@ -45,7 +49,11 @@ def main(argv: list[str] | None = None) -> int:
     from rkts_migration_spark.pipeline import run_pipeline
     from rkts_migration_spark.session import get_spark
 
-    spark = get_spark(app_name="kg-construct-job", master=args.master)
+    spark = get_spark(
+        app_name="kg-construct-job",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
 
     fx = make_fixtures(seed=args.seed, n_convs=args.n_convs)
     tables = fixtures_to_spark(spark, fx)
